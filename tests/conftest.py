@@ -1,0 +1,30 @@
+"""Test config: force an 8-device virtual CPU mesh.
+
+Mirrors the reference's approach of exercising distributed code paths
+without real multi-device hardware (it used NCCL THREAD workers); we use
+XLA's host-platform device virtualization so mesh/sharding code runs in CI.
+
+The environment may pin ``JAX_PLATFORMS`` to a TPU plugin at interpreter
+start (sitecustomize), so we override via ``jax.config`` — this must happen
+before any backend is initialized, i.e. before tests import model code.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,122 @@
+"""Decode engine: cache-vs-full-forward equivalence, watermark fusion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wmar_tpu.core import HashGreenlist, WatermarkSpec, detect
+from wmar_tpu.core.spec import SeedStrategy, SplitStrategy
+from wmar_tpu.engine import KVCache, SamplerConfig, WatermarkRuntime, decode_tokens
+from wmar_tpu.engine.attention import decode_attention, prefill_attention
+from wmar_tpu.models.taming_gpt import (
+    GPTConfig,
+    gpt_forward,
+    init_gpt_params,
+    make_step_fn,
+    prefill,
+)
+
+CFG = GPTConfig(vocab_size=64, block_size=40, n_layer=2, n_head=2, n_embd=32)
+
+
+@pytest.fixture(scope="module")
+def gpt():
+    params = init_gpt_params(jax.random.PRNGKey(0), CFG)
+    return params
+
+
+def test_prefill_vs_decode_attention_agree(rng):
+    b, h, t, d = 2, 3, 8, 16
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    full = prefill_attention(q, k, v, causal=True)
+    # Pad cache to 12 and attend the last query alone
+    pad = jnp.zeros((b, h, 4, d), dtype=jnp.float32)
+    k_pad = jnp.concatenate([k, pad], axis=2)
+    v_pad = jnp.concatenate([v, pad], axis=2)
+    last = decode_attention(q[:, :, -1:], k_pad, v_pad, jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(last), np.asarray(full[:, :, -1:]), rtol=2e-5, atol=2e-5)
+
+
+def test_cached_decode_matches_full_forward(gpt):
+    """Token-by-token cached forward == one full causal forward."""
+    params = gpt
+    tokens = jnp.asarray(np.random.default_rng(1).integers(0, 64, size=(2, 10)))
+    full_logits, _ = gpt_forward(params, CFG, tokens, cache=None)
+
+    cache = KVCache.zeros(CFG.n_layer, 2, CFG.n_head, 16, CFG.head_dim)
+    step_logits = []
+    for i in range(10):
+        lg, cache = gpt_forward(params, CFG, tokens[:, i : i + 1], cache, i)
+        step_logits.append(lg[:, 0])
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(step_logits), np.asarray(full_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_burst_matches_full_forward(gpt):
+    params = gpt
+    tokens = jnp.asarray(np.random.default_rng(2).integers(0, 64, size=(2, 6)))
+    full_logits, _ = gpt_forward(params, CFG, tokens, cache=None)
+    cache = KVCache.zeros(CFG.n_layer, 2, CFG.n_head, 16, CFG.head_dim)
+    burst_logits, cache = gpt_forward(params, CFG, tokens, cache, 0)
+    np.testing.assert_allclose(np.asarray(burst_logits), np.asarray(full_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_decode_tokens_shapes_and_determinism(gpt):
+    params = gpt
+    cond = jnp.array([[3], [5]], dtype=jnp.int32)
+    init_logits, cache = prefill(params, CFG, cond, max_len=40)
+    step_fn = make_step_fn(params, CFG, cond_len=1)
+    sampler = SamplerConfig(temperature=1.0, top_k=20, top_p=0.9)
+    toks1, _ = decode_tokens(step_fn, cache, init_logits, 16, jax.random.PRNGKey(7), sampler, cond_tokens=cond)
+    toks2, _ = decode_tokens(step_fn, cache, init_logits, 16, jax.random.PRNGKey(7), sampler, cond_tokens=cond)
+    assert toks1.shape == (2, 16)
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+    toks3, _ = decode_tokens(step_fn, cache, init_logits, 16, jax.random.PRNGKey(8), sampler, cond_tokens=cond)
+    assert (np.asarray(toks1) != np.asarray(toks3)).any()
+
+
+def test_decode_with_watermark_detects(gpt):
+    """Generating with a strong watermark must yield detectable codes."""
+    params = gpt
+    spec = WatermarkSpec(
+        vocab_size=64,
+        seed_strategy=SeedStrategy.LINEAR,
+        split_strategy=SplitStrategy.RANDOM,
+        context_size=1,
+        delta=8.0,
+        gamma=0.25,
+    )
+    gl = HashGreenlist(spec)
+    wm = WatermarkRuntime(spec, gl)
+    cond = jnp.array([[3], [5], [7], [9]], dtype=jnp.int32)
+    init_logits, cache = prefill(params, CFG, cond, max_len=40)
+    step_fn = make_step_fn(params, CFG, cond_len=1)
+    sampler = SamplerConfig(temperature=1.0)
+
+    f = jax.jit(
+        lambda c, lg, k: decode_tokens(step_fn, c, lg, 32, k, sampler, watermark=wm, cond_tokens=cond)
+    )
+    toks_wm, _ = f(cache, init_logits, jax.random.PRNGKey(0))
+    toks_plain, _ = decode_tokens(step_fn, cache, init_logits, 32, jax.random.PRNGKey(0), sampler, cond_tokens=cond)
+
+    p_wm = np.asarray(detect(spec, gl, toks_wm))
+    p_plain = np.asarray(detect(spec, gl, toks_plain))
+    assert (p_wm < 1e-3).all(), p_wm
+    assert p_plain.mean() > 1e-3, p_plain
+
+
+def test_greedy_decode_reproducible_across_jit(gpt):
+    """Greedy decode is invariant to jit and batch composition."""
+    params = gpt
+    cond = jnp.array([[3], [9]], dtype=jnp.int32)
+    init_logits, cache = prefill(params, CFG, cond, max_len=40)
+    step_fn = make_step_fn(params, CFG, cond_len=1)
+    sampler = SamplerConfig(greedy=True)
+    toks_eager, _ = decode_tokens(step_fn, cache, init_logits, 12, jax.random.PRNGKey(0), sampler)
+    toks_jit, _ = jax.jit(
+        lambda c, lg: decode_tokens(step_fn, c, lg, 12, jax.random.PRNGKey(0), sampler)
+    )(cache, init_logits)
+    np.testing.assert_array_equal(np.asarray(toks_eager), np.asarray(toks_jit))

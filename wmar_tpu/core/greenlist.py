@@ -1,0 +1,333 @@
+"""Greenlist sources: who is green for a given context?
+
+Two interchangeable device-side implementations:
+
+* :class:`HashGreenlist` — TPU-native. Membership is a stateless integer
+  hash thresholded per token, evaluated for the whole vocab in one
+  ``[B, V]`` VPU tile. No tables, no host round-trips, O(1) memory. Each
+  token is green with probability ``gamma`` (exactly, per-token, via a
+  per-token uint32 threshold), so the binomial detection statistics of the
+  reference hold exactly. Stratified splits are expressed as per-token
+  thresholds (alive tokens at the alive rate, dead tokens at the dead fill
+  rate) which matches the reference's expected green counts
+  (``gentime_watermark.py:166-174``).
+
+* :class:`TableGreenlist` — torch-parity mode. A packed-bit table
+  ``[n_keys, ceil(V/32)]`` built on the host with ``torch.Generator``
+  randperms, reproducing the reference's greenlists bit-exactly. This works
+  because the reference's seed is a function of the context *sum* only
+  (``seed = salt * sum(ctx) mod 2^64-1``), and context sums live in
+  ``[0, h * (V - 1)]`` — a small dense index space. Greedy-decode token
+  parity with the PyTorch reference runs through this path.
+
+Both expose the same two pure functions usable under ``jit``/``vmap``:
+
+* ``green_mask(keys) -> bool [..., V]`` — sampler side (logit bias),
+* ``green_lookup(keys, targets) -> bool [...]`` — detection side.
+
+``keys`` is always the *context sum* (int32); strategy FIXED uses key 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from wmar_tpu.core.hashing import hash_key_token
+from wmar_tpu.core.spec import SeedStrategy, SplitStrategy, WatermarkSpec
+
+
+def _thresholds_u32(spec: WatermarkSpec, alive_mask: Optional[np.ndarray]) -> np.ndarray:
+    """Per-token uint32 green thresholds implementing the split strategy."""
+    v = spec.vocab_size
+    if spec.split_strategy == SplitStrategy.RANDOM or alive_mask is None:
+        p = np.full((v,), spec.gamma, dtype=np.float64)
+    elif spec.split_strategy == SplitStrategy.RANDOM_STRATIFIED:
+        n_alive = int(alive_mask.sum())
+        n_dead = v - n_alive
+        n_green_alive = int(n_alive * spec.gamma)
+        n_green_dead = spec.greenlist_size - n_green_alive
+        p_alive = n_green_alive / max(n_alive, 1)
+        p_dead = n_green_dead / max(n_dead, 1)
+        p = np.where(alive_mask, p_alive, p_dead)
+    else:
+        raise ValueError(
+            f"{spec.split_strategy} has no hash-threshold form; use a fixed mask"
+        )
+    return np.minimum(p * 2.0**32, 2.0**32 - 1).astype(np.uint32)
+
+
+class HashGreenlist:
+    """Stateless hash-based greenlist (TPU-native default)."""
+
+    def __init__(
+        self,
+        spec: WatermarkSpec,
+        alive_mask: Optional[np.ndarray] = None,
+        fixed_mask: Optional[np.ndarray] = None,
+    ):
+        self.spec = spec
+        v = spec.vocab_size
+        if spec.seed_strategy == SeedStrategy.FIXED:
+            # Fixed strategy: one split for the whole stream. Materialize an
+            # exact-size greenlist (like the reference's randperm prefix) by
+            # ranking hash scores, unless an explicit mask is given (e.g. the
+            # clustering split or a greenlist-ids file).
+            if fixed_mask is None:
+                thresholds = _thresholds_u32(spec, alive_mask)
+                scores = np.asarray(
+                    hash_key_token(jnp.zeros((1,), jnp.int32), jnp.arange(v), spec.salt_key)
+                )[0].astype(np.float64)
+                # Rank by score scaled inversely to per-token rate so
+                # stratification is respected; lowest ranks are green.
+                rel = scores / np.maximum(thresholds.astype(np.float64), 1.0)
+                order = np.argsort(rel)
+                fixed_mask = np.zeros((v,), dtype=bool)
+                fixed_mask[order[: spec.greenlist_size]] = True
+            self._fixed_mask = jnp.asarray(fixed_mask, dtype=jnp.bool_)
+            self._thresholds = None
+        else:
+            if fixed_mask is not None:
+                raise ValueError("fixed_mask only valid with FIXED seed strategy")
+            self._fixed_mask = None
+            self._thresholds = jnp.asarray(_thresholds_u32(spec, alive_mask))
+
+    def green_mask(self, keys: jnp.ndarray) -> jnp.ndarray:
+        """[...,] int32 context-sums -> [..., V] bool green masks."""
+        v = self.spec.vocab_size
+        if self._fixed_mask is not None:
+            return jnp.broadcast_to(self._fixed_mask, keys.shape + (v,))
+        tokens = jnp.arange(v, dtype=jnp.int32)
+        bits = hash_key_token(keys[..., None], tokens, self.spec.salt_key)
+        return bits < self._thresholds
+
+    def green_lookup(self, keys: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+        """Membership of individual (context-sum, target) pairs."""
+        if self._fixed_mask is not None:
+            return self._fixed_mask[targets]
+        bits = hash_key_token(keys, targets, self.spec.salt_key)
+        return bits < self._thresholds[targets]
+
+
+class TableGreenlist:
+    """Packed-bit greenlist table keyed by context sum (torch-parity mode)."""
+
+    def __init__(self, spec: WatermarkSpec, packed_table: np.ndarray):
+        """``packed_table``: uint32 ``[n_keys, ceil(V/32)]``; bit ``t%32`` of
+        word ``t//32`` of row ``k`` says whether token ``t`` is green for
+        context-sum ``k``. FIXED strategies use a 1-row table."""
+        self.spec = spec
+        self._table = jnp.asarray(packed_table, dtype=jnp.uint32)
+        self.n_keys = packed_table.shape[0]
+
+    def _rows(self, keys: jnp.ndarray) -> jnp.ndarray:
+        if self.spec.seed_strategy == SeedStrategy.FIXED:
+            keys = jnp.zeros_like(keys)
+        keys = jnp.clip(keys, 0, self.n_keys - 1)
+        return self._table[keys]
+
+    def green_mask(self, keys: jnp.ndarray) -> jnp.ndarray:
+        rows = self._rows(keys)  # [..., W] uint32
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = (rows[..., :, None] >> shifts) & jnp.uint32(1)  # [..., W, 32]
+        mask = bits.reshape(rows.shape[:-1] + (-1,))[..., : self.spec.vocab_size]
+        return mask.astype(jnp.bool_)
+
+    def green_lookup(self, keys: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+        if self.spec.seed_strategy == SeedStrategy.FIXED:
+            keys = jnp.zeros_like(keys)
+        keys = jnp.clip(keys, 0, self.n_keys - 1)
+        word = self._table[keys, targets // 32]
+        bit = (word >> (targets % 32).astype(jnp.uint32)) & jnp.uint32(1)
+        return bit.astype(jnp.bool_)
+
+
+# ---------------------------------------------------------------------------
+# Host-side table builders
+# ---------------------------------------------------------------------------
+
+
+def pack_bool_rows(mask: np.ndarray) -> np.ndarray:
+    """[N, V] bool -> [N, ceil(V/32)] uint32 little-endian bit packing."""
+    n, v = mask.shape
+    pad = (-v) % 32
+    if pad:
+        mask = np.concatenate([mask, np.zeros((n, pad), dtype=bool)], axis=1)
+    bits = mask.reshape(n, -1, 32).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    return (bits << shifts).sum(axis=2, dtype=np.uint32)
+
+
+def greenlist_ids_torch_compat(
+    spec: WatermarkSpec,
+    seed: int,
+    alive_ids: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Greenlist ids for one seed, bit-identical to the reference.
+
+    Reproduces ``GentimeWatermark._split_with_seed``
+    (``gentime_watermark.py:161-174``) using torch's CPU Mersenne Twister,
+    which is what the reference seeds. Host-only; torch is never imported on
+    the device path.
+    """
+    import torch  # local import: host-side parity mode only
+
+    rng = torch.Generator(device="cpu")
+    rng.manual_seed(int(seed))
+    v = spec.vocab_size
+    if spec.split_strategy == SplitStrategy.RANDOM:
+        perm = torch.randperm(v, generator=rng).numpy()
+        return perm[: spec.greenlist_size].copy()
+    if spec.split_strategy == SplitStrategy.RANDOM_STRATIFIED:
+        if alive_ids is None:
+            raise ValueError("stratifiedrand needs alive_ids")
+        alive = np.asarray(alive_ids, dtype=np.int64)
+        dead = np.setdiff1d(np.arange(v, dtype=np.int64), alive)
+        alive_shuf = alive[torch.randperm(len(alive), generator=rng).numpy()]
+        dead_shuf = dead[torch.randperm(len(dead), generator=rng).numpy()]
+        n_green_alive = int(len(alive) * spec.gamma)
+        n_green_dead = spec.greenlist_size - n_green_alive
+        return np.concatenate([alive_shuf[:n_green_alive], dead_shuf[:n_green_dead]])
+    raise ValueError(f"No torch-compat builder for {spec.split_strategy}")
+
+
+def build_table_torch_compat(
+    spec: WatermarkSpec,
+    alive_ids: Optional[np.ndarray] = None,
+    max_context_sum: Optional[int] = None,
+) -> TableGreenlist:
+    """Build a :class:`TableGreenlist` matching the reference bit-exactly.
+
+    ``max_context_sum`` defaults to ``context_size * (vocab_size - 1)``, the
+    largest possible sum of a context window.
+    """
+    v = spec.vocab_size
+    if spec.seed_strategy == SeedStrategy.FIXED:
+        n_keys = 1
+    else:
+        if max_context_sum is None:
+            max_context_sum = spec.context_size * (v - 1)
+        n_keys = max_context_sum + 1
+    mask = np.zeros((n_keys, v), dtype=bool)
+    for key in range(n_keys):
+        seed = 0 if spec.seed_strategy == SeedStrategy.FIXED else spec.seed_for_context_sum(key)
+        ids = greenlist_ids_torch_compat(spec, seed, alive_ids)
+        mask[key, ids] = True
+    return TableGreenlist(spec, pack_bool_rows(mask))
+
+
+def fixed_greenlist_from_ids(spec: WatermarkSpec, ids: Sequence[int]) -> HashGreenlist:
+    """FIXED-strategy greenlist from an explicit id list (e.g. the clustering
+    split shipped as ``assets/clustering_greenlist_ids.txt`` in the
+    reference)."""
+    mask = np.zeros((spec.vocab_size,), dtype=bool)
+    mask[np.asarray(list(ids), dtype=np.int64)] = True
+    return HashGreenlist(spec, fixed_mask=mask)
+
+
+def clustering_greenlist(
+    spec: WatermarkSpec,
+    embedding: np.ndarray,
+    alive_ids: np.ndarray,
+) -> HashGreenlist:
+    """Clustering split: green = alternating KMeans clusters of the alive
+    codebook embeddings (t-SNE to 2D, 100 clusters, snake ordering), plus
+    even dead ids — the reference's semantic split
+    (``gentime_watermark.py:175-215``). FIXED seeding only.
+    """
+    if spec.seed_strategy != SeedStrategy.FIXED:
+        raise ValueError("clustering split requires fixed seeding")
+    alive_ids = np.asarray(alive_ids, dtype=np.int64)
+    alive_emb = np.asarray(embedding)[alive_ids].reshape(len(alive_ids), -1)
+    try:
+        from sklearn.cluster import KMeans
+        from sklearn.manifold import TSNE
+
+        pts = TSNE(n_components=2, random_state=42).fit_transform(alive_emb)
+        km = KMeans(n_clusters=100, random_state=42).fit(pts)
+        centers, labels_of = km.cluster_centers_, km.labels_
+    except ImportError:  # numpy-only fallback: PCA to 2D + grid buckets
+        x = alive_emb - alive_emb.mean(0)
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        pts = x @ vt[:2].T
+        # 10x10 quantile grid as "clusters"
+        qy = np.searchsorted(np.quantile(pts[:, 1], np.linspace(0, 1, 11)[1:-1]), pts[:, 1])
+        qx = np.searchsorted(np.quantile(pts[:, 0], np.linspace(0, 1, 11)[1:-1]), pts[:, 0])
+        labels_of = (qy * 10 + qx).astype(np.int64)
+        centers = np.stack(
+            [pts[labels_of == c].mean(0) if (labels_of == c).any() else np.zeros(2) for c in range(100)]
+        )
+
+    labels = np.arange(len(centers))
+    ysort = np.argsort(centers[:, 1])
+    centers, labels = centers[ysort], labels[ysort]
+    centers = centers.reshape(-1, 10, 2)
+    labels = labels.reshape(-1, 10)
+    curr = 0
+    label_to_color = {}
+    for i in range(centers.shape[0]):
+        curr = 1 - curr
+        xsort = np.argsort(centers[i, :, 0])
+        labels[i] = labels[i][xsort]
+        for lab in labels[i]:
+            label_to_color[int(lab)] = curr
+            curr = 1 - curr
+
+    green = [int(t) for i, t in enumerate(alive_ids) if label_to_color[int(labels_of[i])] == 1]
+    dead = np.setdiff1d(np.arange(spec.vocab_size, dtype=np.int64), alive_ids)
+    green += [int(t) for t in dead if t % 2 == 0]
+    return fixed_greenlist_from_ids(spec, green)
+
+
+@dataclasses.dataclass
+class VQInfo:
+    """Codebook metadata the watermark needs (reference: ``vq`` dict/module).
+
+    ``alive_ids`` are codebook entries actually used by the generator
+    (reference ships them as ``assets/*_ids.txt``)."""
+
+    vocab_size: int
+    alive_ids: Optional[np.ndarray] = None
+    embedding: Optional[np.ndarray] = None
+
+    @property
+    def alive_mask(self) -> Optional[np.ndarray]:
+        if self.alive_ids is None:
+            return None
+        m = np.zeros((self.vocab_size,), dtype=bool)
+        m[np.asarray(self.alive_ids, dtype=np.int64)] = True
+        return m
+
+    @staticmethod
+    def from_alive_ids_file(path: str, vocab_size: int, embedding=None) -> "VQInfo":
+        ids: list[int] = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    ids.extend(int(x) for x in line.split(","))
+        return VQInfo(vocab_size=vocab_size, alive_ids=np.asarray(ids), embedding=embedding)
+
+
+def make_greenlist(
+    spec: WatermarkSpec,
+    vq: Optional[VQInfo] = None,
+    torch_compat: bool = False,
+):
+    """Factory: the right greenlist source for a spec.
+
+    ``torch_compat=True`` builds host-side parity tables (bit-exact greedy
+    parity with the PyTorch reference); otherwise the hash source is used.
+    """
+    alive_mask = vq.alive_mask if vq is not None else None
+    if spec.split_strategy == SplitStrategy.CLUSTERING:
+        if vq is None or vq.embedding is None or vq.alive_ids is None:
+            raise ValueError("clustering split needs VQInfo with embedding + alive_ids")
+        return clustering_greenlist(spec, vq.embedding, vq.alive_ids)
+    if torch_compat:
+        alive_ids = vq.alive_ids if vq is not None else None
+        return build_table_torch_compat(spec, alive_ids)
+    return HashGreenlist(spec, alive_mask=alive_mask)

@@ -1,0 +1,74 @@
+"""Attention for prefill and single-token decode.
+
+Decode attends a 1-token query against the padded KV cache with a length
+mask — the XLA form of flash-decode. Sequences here are short (<= ~4.2k for
+Chameleon, 256-1024 for the image models), so a padded masked softmax is
+already bandwidth-optimal; a fused Pallas kernel for the decode step lives in
+``wmar_tpu.engine.pallas_kernels`` and is used on TPU for the hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def prefill_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = True,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Full self-attention over the prompt. ``q, k, v: [B, H, T, D]``."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d**-0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if causal:
+        t = q.shape[2]
+        mask = jnp.tril(jnp.ones((t, t), dtype=bool))
+        s = jnp.where(mask, s, NEG_INF)
+    p = jnp.exp(s - s.max(axis=-1, keepdims=True))
+    p = p / p.sum(axis=-1, keepdims=True)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    valid_len,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """One-token decode attention against a padded cache.
+
+    Args:
+      q: ``[B, H, t, D]`` current queries (t is 1, or 2 for RAR's first step).
+      k_cache, v_cache: ``[B, H, T_max, D]`` padded caches.
+      valid_len: scalar — number of valid cache positions (including the
+        freshly written current token(s)).
+
+    Returns:
+      ``[B, H, t, D]`` attention outputs.
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else d**-0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache).astype(jnp.float32) * scale
+    t_max = k_cache.shape[2]
+    pos_ok = jnp.arange(t_max) < valid_len  # [T_max]
+    if q.shape[2] > 1:
+        # Multi-token decode burst (e.g. RAR's [cls, cond] prefix): causal
+        # within the burst. Query i sits at absolute position
+        # valid_len - t + i, keys are valid up to and including it.
+        t = q.shape[2]
+        qpos = valid_len - t + jnp.arange(t)  # [t]
+        pos_ok = jnp.arange(t_max)[None, :] <= qpos[:, None]  # [t, T_max]
+        s = jnp.where(pos_ok[None, None], s, NEG_INF)
+    else:
+        s = jnp.where(pos_ok[None, None, None], s, NEG_INF)
+    p = jnp.exp(s - s.max(axis=-1, keepdims=True))
+    p = p / p.sum(axis=-1, keepdims=True)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_cache.dtype), v_cache)
