@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Watermarked generation + robustness evaluation (TPU-native).
+
+Counterpart of the reference's ``generate.py``: sample watermarked codes
+with a model frontend, decode to images, run the attack grid, re-tokenize,
+detect, and write the per-sample result tree. Same CLI surface:
+
+  python generate.py --model taming --modelpath ckpts/taming \\
+      --wm_method gentime --wm_seed_strategy linear \\
+      --wm_split_strategy stratifiedrand --wm_context_size 1 \\
+      --wm_delta 2.0 --wm_gamma 0.25 \\
+      --conditioning 0,1,2 --num_samples_per_conditioning 5 \\
+      --outdir out/ --batch_size 5 --top_k 250 --top_p 0.92
+
+Model checkpoints are converted param pytrees (see ``tools/convert_ckpt.py``)
+stored as msgpack under ``--modelpath``:
+  taming: gpt.msgpack + vqgan.msgpack (+ config.json)
+  rar:    rar_{size}.msgpack + maskgit_vqgan.msgpack
+``--tiny`` runs a randomly-initialized tiny model end-to-end (CI smoke path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    return v.lower() in ("yes", "true", "t", "y", "1")
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--outdir", type=str, required=True)
+    p.add_argument("--model", type=str, choices=["taming", "rar", "chameleon7b"], default="taming")
+    p.add_argument("--modelpath", type=str, default=None)
+    p.add_argument("--rar_size", type=str, default="rar_xl",
+                   choices=["rar_b", "rar_l", "rar_xl", "rar_xxl"])
+    p.add_argument("--encoder_ft_ckpt", type=str, default=None, help="RCC encoder delta (msgpack)")
+    p.add_argument("--decoder_ft_ckpt", type=str, default=None, help="RCC decoder delta (msgpack)")
+    p.add_argument("--tiny", action="store_true", help="random tiny model (smoke test)")
+
+    p.add_argument("--num_samples_per_conditioning", type=int, default=1)
+    p.add_argument("--conditioning", type=str, default="0",
+                   help="comma-separated class ids, or a prompt txt file")
+
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--top_k", type=int, default=600)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_p", type=float, default=0.92)
+    p.add_argument("--guidance_scale", type=float, default=4.0)
+
+    p.add_argument("--chunk_id", type=int, default=0)
+    p.add_argument("--num_chunks", type=int, default=1)
+
+    p.add_argument("--orig_only", type=str2bool, default=False)
+    p.add_argument("--include_neural_compress", type=str2bool, default=False)
+    p.add_argument("--include_diffpure", type=str2bool, default=False)
+    p.add_argument("--max_roundtrips", type=int, default=1)
+    p.add_argument("--exact_jpeg", type=str2bool, default=False)
+
+    p.add_argument("--wm_method", type=str, default="gentime", choices=["none", "gentime"])
+    p.add_argument("--wm_seed_strategy", type=str, default="linear",
+                   choices=["fixed", "linear", "spatial"])
+    p.add_argument("--wm_split_strategy", type=str, default="stratifiedrand",
+                   choices=["rand", "stratifiedrand", "clustering"])
+    p.add_argument("--wm_context_size", type=int, default=1)
+    p.add_argument("--wm_delta", type=float, default=2.0)
+    p.add_argument("--wm_gamma", type=float, default=0.25)
+    p.add_argument("--wm_torch_compat", type=str2bool, default=False,
+                   help="bit-exact reference greenlists (host-built tables)")
+    p.add_argument("--sync", type=str2bool, default=False)
+    p.add_argument("--syncpath", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_augs", action="store_true")
+    return p
+
+
+def load_wrapper(args):
+    from wmar_tpu.models import (
+        GPTConfig,
+        MASKGIT_IMAGENET_F16,
+        MaskGitVQConfig,
+        MaskGitVQGAN,
+        RARConfig,
+        RarARMM,
+        TAMING_IMAGENET_F16,
+        TamingARMM,
+        TamingVQGAN,
+        VQGANConfig,
+        init_gpt_params,
+        init_rar_params,
+        rar_config,
+    )
+    from wmar_tpu.utils import checkpoint as ckpt
+
+    if args.tiny:
+        if args.model == "rar":
+            rar_cfg = RARConfig(embed_dim=64, depth=2, num_heads=2, intermediate_size=128,
+                                image_seq_len=16, codebook_size=64, num_classes=10)
+            vq_cfg = MaskGitVQConfig(resolution=8, hidden_channels=32, channel_mult=(1, 2),
+                                     num_res_blocks=1, z_channels=16, n_embed=64, embed_dim=16)
+            vq = MaskGitVQGAN(vq_cfg)
+            vq_params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+            params = init_rar_params(jax.random.PRNGKey(1), rar_cfg)
+            return RarARMM(params, rar_cfg, vq_params, vq_cfg, cache_dtype=jnp.float32)
+        gpt_cfg = GPTConfig(vocab_size=64, block_size=300, n_layer=2, n_head=2, n_embd=32)
+        vq_cfg = VQGANConfig(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                             attn_resolutions=(16,), z_channels=32, n_embed=64, embed_dim=16)
+        vq = TamingVQGAN(vq_cfg)
+        vq_params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        gpt_params = init_gpt_params(jax.random.PRNGKey(1), gpt_cfg)
+        return TamingARMM(gpt_params, gpt_cfg, vq_params, vq_cfg)
+
+    assert args.modelpath, "--modelpath required without --tiny"
+    cfg_path = os.path.join(args.modelpath, "config.json")
+    meta = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
+
+    def load(name, like):
+        return ckpt.load_pytree(os.path.join(args.modelpath, name), like)
+
+    if args.model == "rar":
+        rar_cfg = rar_config(args.rar_size)
+        vq_cfg = MASKGIT_IMAGENET_F16
+        vq = MaskGitVQGAN(vq_cfg)
+        vq_like = jax.eval_shape(lambda: vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3))))
+        vq_params = load("maskgit_vqgan.msgpack", jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), vq_like))
+        rar_like = jax.eval_shape(lambda: init_rar_params(jax.random.PRNGKey(0), rar_cfg))
+        rar_params = load(f"{args.rar_size}.msgpack", jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), rar_like))
+        alive = _load_alive_ids(meta.get("alive_ids", "assets/rar_all_ids.txt"))
+        wrapper = RarARMM(rar_params, rar_cfg, vq_params, vq_cfg, alive_ids=alive)
+    elif args.model == "taming":
+        gpt_cfg = GPTConfig(**meta.get(
+            "gpt", dict(vocab_size=16384, block_size=512, n_layer=48, n_head=24, n_embd=1664)
+        ))
+        vq_cfg = TAMING_IMAGENET_F16
+        vq = TamingVQGAN(vq_cfg)
+        vq_like = jax.eval_shape(lambda: vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3))))
+        vq_params = load("vqgan.msgpack", jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), vq_like))
+        gpt_like = jax.eval_shape(lambda: init_gpt_params(jax.random.PRNGKey(0), gpt_cfg))
+        gpt_params = load("gpt.msgpack", jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), gpt_like))
+        alive = _load_alive_ids(meta.get("alive_ids", "assets/vqgan_alive_ids.txt"))
+        wrapper = TamingARMM(gpt_params, gpt_cfg, vq_params, vq_cfg, alive_ids=alive)
+    else:
+        raise NotImplementedError("chameleon7b frontend lands in wmar_tpu.models.chameleon")
+
+    # RCC deltas (published artifact format): additive patches on the
+    # tokenizer encoder / decoder subtrees.
+    if args.encoder_ft_ckpt or args.decoder_ft_ckpt:
+        params = dict(wrapper.vq_params["params"])
+        if args.encoder_ft_ckpt:
+            params["encoder"] = ckpt.load_and_apply_delta(args.encoder_ft_ckpt, params["encoder"])
+        if args.decoder_ft_ckpt:
+            params["decoder"] = ckpt.load_and_apply_delta(args.decoder_ft_ckpt, params["decoder"])
+        wrapper.vq_params = {"params": params}
+    return wrapper
+
+
+def _load_alive_ids(path):
+    if not path or not os.path.exists(path):
+        return None
+    ids = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                ids.extend(int(x) for x in line.split(","))
+    return np.asarray(ids)
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    from wmar_tpu.augmentations import AugmentationManager
+    from wmar_tpu.core import WatermarkSpec
+    from wmar_tpu.eval import EvalParams, generate_and_evaluate
+    from wmar_tpu.models import GenParams
+
+    wrapper = load_wrapper(args)
+
+    if args.wm_method == "gentime":
+        method = (
+            f"{args.wm_seed_strategy}-{args.wm_split_strategy}-"
+            f"h={args.wm_context_size}-d={args.wm_delta:.1f}-g={args.wm_gamma:.2f}"
+        )
+        spec = WatermarkSpec.from_string(
+            method, vocab_size=wrapper.get_total_vocab_size(), spatial_dim=wrapper.codes_size
+        )
+        wrapper.set_watermarker(spec, torch_compat=args.wm_torch_compat)
+        apply_wm = True
+    else:
+        apply_wm = False
+
+    if os.path.exists(args.conditioning):
+        with open(args.conditioning) as f:
+            conds = [line.strip() for line in f if line.strip()]
+    else:
+        conds = [int(c) for c in args.conditioning.split(",")]
+    all_inputs = [c for c in conds for _ in range(args.num_samples_per_conditioning)]
+
+    aug_manager = None
+    if not args.orig_only and not args.no_augs:
+        aug_manager = AugmentationManager(
+            include_neural_compress=args.include_neural_compress,
+            include_diffpure=args.include_diffpure,
+            exact_jpeg=args.exact_jpeg,
+        )
+
+    sync_manager = None
+    if args.sync:
+        from wmar_tpu.sync import load_sync_manager
+
+        sync_manager = load_sync_manager(args.syncpath)
+
+    gen = GenParams(
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        guidance_scale=args.guidance_scale,
+        guidance_scale_pow=0.0,
+    )
+    eval_params = EvalParams(max_roundtrips=args.max_roundtrips, orig_only=args.orig_only)
+    records = generate_and_evaluate(
+        args.outdir,
+        wrapper,
+        all_inputs,
+        gen,
+        eval_params,
+        aug_manager,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        chunk_id=args.chunk_id,
+        num_chunks=args.num_chunks,
+        apply_watermark=apply_wm,
+        sync_manager=sync_manager,
+    )
+    print(f"wrote {len(records)} records to {args.outdir}")
+    return records
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

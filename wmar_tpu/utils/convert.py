@@ -1,0 +1,283 @@
+"""Convert reference PyTorch checkpoints into wmar_tpu param pytrees.
+
+Host-side only (numpy in, numpy out; loading ``.ckpt``/``.bin`` files uses
+torch-cpu if present). Conventions:
+
+* torch ``nn.Linear.weight [out, in]``  -> ``w [in, out]`` (transposed)
+* torch ``nn.Conv2d.weight [O, I, kh, kw]`` -> flax ``kernel [kh, kw, I, O]``
+* torch norm ``weight/bias`` -> ``scale/bias``
+
+Checkpoint layouts handled:
+* Taming ``net2net.ckpt`` — ``transformer.*`` (minGPT) +
+  ``first_stage_model.*`` (VQGAN) in one state dict
+  (``deps/taming/models/cond_transformer.py``).
+* Standalone taming/chameleon VQGAN state dicts (``vqgan.ckpt``).
+* MaskGit-VQGAN ``maskgit-vqgan-imagenet-f16-256.bin``.
+* RAR generator ``rar_{b,l,xl,xxl}.bin``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from wmar_tpu.models.maskgit_vqgan import MaskGitVQConfig
+from wmar_tpu.models.rar import RARConfig
+from wmar_tpu.models.taming_gpt import GPTConfig
+from wmar_tpu.models.vqgan import VQGANConfig
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Array]:
+    """Load a torch checkpoint to numpy (host-side; needs torch-cpu)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v) for k, v in sd.items()}
+
+
+def _lin(sd: StateDict, prefix: str) -> dict:
+    out = {"w": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+    out["b"] = (
+        sd[prefix + ".bias"]
+        if prefix + ".bias" in sd
+        else np.zeros(out["w"].shape[1], out["w"].dtype)
+    )
+    return out
+
+
+def _ln(sd: StateDict, prefix: str) -> dict:
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _conv(sd: StateDict, prefix: str) -> dict:
+    k = np.ascontiguousarray(np.transpose(sd[prefix + ".weight"], (2, 3, 1, 0)))
+    out = {"kernel": k}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _gn(sd: StateDict, prefix: str) -> dict:
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+# ---------------------------------------------------------------------------
+# Taming minGPT
+# ---------------------------------------------------------------------------
+
+
+def convert_taming_gpt(sd: StateDict, cfg: GPTConfig, prefix: str = "transformer.") -> dict:
+    """``transformer.*`` of net2net.ckpt -> ``taming_gpt`` params."""
+    p = prefix
+    blocks = []
+    for i in range(cfg.n_layer):
+        bp = f"{p}blocks.{i}."
+        blocks.append(
+            {
+                "ln1": _ln(sd, bp + "ln1"),
+                "ln2": _ln(sd, bp + "ln2"),
+                "attn": {
+                    "q": _lin(sd, bp + "attn.query"),
+                    "k": _lin(sd, bp + "attn.key"),
+                    "v": _lin(sd, bp + "attn.value"),
+                    "proj": _lin(sd, bp + "attn.proj"),
+                },
+                "mlp": {"fc": _lin(sd, bp + "mlp.0"), "proj": _lin(sd, bp + "mlp.2")},
+            }
+        )
+    return {
+        "tok_emb": sd[p + "tok_emb.weight"],
+        "pos_emb": sd[p + "pos_emb"][0],
+        "blocks": blocks,
+        "ln_f": _ln(sd, p + "ln_f"),
+        "head": np.ascontiguousarray(sd[p + "head.weight"].T),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Taming VQGAN
+# ---------------------------------------------------------------------------
+
+
+def _taming_resblock(sd: StateDict, tp: str, has_shortcut: bool) -> dict:
+    out = {
+        "GroupNorm_0": _gn(sd, tp + ".norm1"),
+        "conv1": _conv(sd, tp + ".conv1"),
+        "GroupNorm_1": _gn(sd, tp + ".norm2"),
+        "conv2": _conv(sd, tp + ".conv2"),
+    }
+    if has_shortcut:
+        out["nin_shortcut"] = _conv(sd, tp + ".nin_shortcut")
+    return out
+
+
+def _taming_attn(sd: StateDict, tp: str) -> dict:
+    return {
+        "GroupNorm_0": _gn(sd, tp + ".norm"),
+        "q": _conv(sd, tp + ".q"),
+        "k": _conv(sd, tp + ".k"),
+        "v": _conv(sd, tp + ".v"),
+        "proj_out": _conv(sd, tp + ".proj_out"),
+    }
+
+
+def _convert_taming_encoder(sd: StateDict, cfg: VQGANConfig, p: str) -> dict:
+    out = {"conv_in": _conv(sd, p + "conv_in")}
+    curr_res = cfg.resolution
+    in_mult = (1,) + tuple(cfg.ch_mult)
+    for i, mult in enumerate(cfg.ch_mult):
+        block_in = cfg.ch * in_mult[i]
+        block_out = cfg.ch * mult
+        for j in range(cfg.num_res_blocks):
+            tp = f"{p}down.{i}.block.{j}"
+            out[f"down_{i}_block_{j}"] = _taming_resblock(sd, tp, block_in != block_out)
+            block_in = block_out
+            if curr_res in cfg.attn_resolutions:
+                out[f"down_{i}_attn_{j}"] = _taming_attn(sd, f"{p}down.{i}.attn.{j}")
+        if i != cfg.num_resolutions - 1:
+            out[f"down_{i}_downsample"] = {"conv": _conv(sd, f"{p}down.{i}.downsample.conv")}
+            curr_res //= 2
+    out["mid_block_1"] = _taming_resblock(sd, p + "mid.block_1", False)
+    out["mid_attn_1"] = _taming_attn(sd, p + "mid.attn_1")
+    out["mid_block_2"] = _taming_resblock(sd, p + "mid.block_2", False)
+    out["GroupNorm_0"] = _gn(sd, p + "norm_out")
+    out["conv_out"] = _conv(sd, p + "conv_out")
+    return out
+
+
+def _convert_taming_decoder(sd: StateDict, cfg: VQGANConfig, p: str) -> dict:
+    out = {"conv_in": _conv(sd, p + "conv_in")}
+    block_in = cfg.ch * cfg.ch_mult[-1]
+    out["mid_block_1"] = _taming_resblock(sd, p + "mid.block_1", False)
+    out["mid_attn_1"] = _taming_attn(sd, p + "mid.attn_1")
+    out["mid_block_2"] = _taming_resblock(sd, p + "mid.block_2", False)
+    curr_res = cfg.codes_per_side
+    for i in reversed(range(cfg.num_resolutions)):
+        block_out = cfg.ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks + 1):
+            tp = f"{p}up.{i}.block.{j}"
+            out[f"up_{i}_block_{j}"] = _taming_resblock(sd, tp, block_in != block_out)
+            block_in = block_out
+            if curr_res in cfg.attn_resolutions:
+                out[f"up_{i}_attn_{j}"] = _taming_attn(sd, f"{p}up.{i}.attn.{j}")
+        if i != 0:
+            out[f"up_{i}_upsample"] = {"conv": _conv(sd, f"{p}up.{i}.upsample.conv")}
+            curr_res *= 2
+    out["GroupNorm_0"] = _gn(sd, p + "norm_out")
+    out["conv_out"] = _conv(sd, p + "conv_out")
+    return out
+
+
+def convert_taming_vqgan(sd: StateDict, cfg: VQGANConfig, prefix: str = "") -> dict:
+    """State dict (optionally ``first_stage_model.``-prefixed) -> TamingVQGAN
+    flax variables ``{"params": ...}``."""
+    p = prefix
+    params = {
+        "encoder": _convert_taming_encoder(sd, cfg, p + "encoder."),
+        "decoder": _convert_taming_decoder(sd, cfg, p + "decoder."),
+        "quantize": {"embedding": sd[p + "quantize.embedding.weight"]},
+        "quant_conv": _conv(sd, p + "quant_conv"),
+        "post_quant_conv": _conv(sd, p + "post_quant_conv"),
+    }
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# MaskGit VQGAN
+# ---------------------------------------------------------------------------
+
+
+def _mg_resblock(sd: StateDict, tp: str, has_shortcut: bool) -> dict:
+    out = {
+        "GroupNorm_0": _gn(sd, tp + ".norm1"),
+        "conv1": _conv(sd, tp + ".conv1"),
+        "GroupNorm_1": _gn(sd, tp + ".norm2"),
+        "conv2": _conv(sd, tp + ".conv2"),
+    }
+    if has_shortcut:
+        out["nin_shortcut"] = _conv(sd, tp + ".nin_shortcut")
+    return out
+
+
+def convert_maskgit_vqgan(sd: StateDict, cfg: MaskGitVQConfig, prefix: str = "") -> dict:
+    p = prefix
+    enc = {"conv_in": _conv(sd, p + "encoder.conv_in")}
+    in_mult = (1,) + tuple(cfg.channel_mult)
+    for i, mult in enumerate(cfg.channel_mult):
+        block_in = cfg.hidden_channels * in_mult[i]
+        block_out = cfg.hidden_channels * mult
+        for j in range(cfg.num_res_blocks):
+            enc[f"down_{i}_block_{j}"] = _mg_resblock(
+                sd, f"{p}encoder.down.{i}.block.{j}", block_in != block_out
+            )
+            block_in = block_out
+    mid_ch = cfg.hidden_channels * cfg.channel_mult[-1]
+    for j in range(cfg.num_res_blocks):
+        enc[f"mid_block_{j}"] = _mg_resblock(sd, f"{p}encoder.mid.{j}", False)
+    enc["GroupNorm_0"] = _gn(sd, p + "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, p + "encoder.conv_out")
+
+    dec = {"conv_in": _conv(sd, p + "decoder.conv_in")}
+    for j in range(cfg.num_res_blocks):
+        dec[f"mid_block_{j}"] = _mg_resblock(sd, f"{p}decoder.mid.{j}", False)
+    block_in = mid_ch
+    for i in reversed(range(cfg.num_resolutions)):
+        block_out = cfg.hidden_channels * cfg.channel_mult[i]
+        for j in range(cfg.num_res_blocks):
+            dec[f"up_{i}_block_{j}"] = _mg_resblock(
+                sd, f"{p}decoder.up.{i}.block.{j}", block_in != block_out
+            )
+            block_in = block_out
+        if i != 0:
+            dec[f"up_{i}_upsample_conv"] = _conv(sd, f"{p}decoder.up.{i}.upsample_conv")
+    dec["GroupNorm_0"] = _gn(sd, p + "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, p + "decoder.conv_out")
+
+    params = {
+        "encoder": enc,
+        "decoder": dec,
+        "embedding": sd[p + "quantize.embedding.weight"],
+    }
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# RAR
+# ---------------------------------------------------------------------------
+
+
+def convert_rar(sd: StateDict, cfg: RARConfig, prefix: str = "") -> dict:
+    p = prefix
+    blocks = []
+    for i in range(cfg.depth):
+        bp = f"{p}blocks.{i}."
+        blocks.append(
+            {
+                "norm1": _ln(sd, bp + "norm1"),
+                "norm2": _ln(sd, bp + "norm2"),
+                "attn": {
+                    "qkv": _lin(sd, bp + "attn.qkv"),
+                    "q_norm": _ln(sd, bp + "attn.q_norm"),
+                    "k_norm": _ln(sd, bp + "attn.k_norm"),
+                    "proj": _lin(sd, bp + "attn.proj"),
+                },
+                "mlp": {"fc1": _lin(sd, bp + "mlp.fc1"), "fc2": _lin(sd, bp + "mlp.fc2")},
+                "adaln": _lin(sd, bp + "adaLN_modulation.1"),
+            }
+        )
+    return {
+        "cls_token": sd[p + "cls_token"],
+        "embeddings": sd[p + "embeddings.weight"],
+        "pos_embed": sd[p + "pos_embed"][0],
+        "target_aware_pos_embed": sd[p + "target_aware_pos_embed"][0],
+        "timesteps_embeddings": sd[p + "timesteps_embeddings"][0],
+        "blocks": blocks,
+        "final_adaln": _lin(sd, p + "adaln_before_head.adaLN_modulation.1"),
+        "lm_head": _lin(sd, p + "lm_head"),
+    }

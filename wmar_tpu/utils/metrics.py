@@ -1,0 +1,31 @@
+"""Evaluation metrics (reference: ``wmar/utils/metrics.py``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(a, b, max_val: float = 255.0) -> float:
+    """PSNR between two images (any matching shape), values scaled to
+    ``max_val`` like the reference's PIL-array comparison."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(max_val**2 / mse))
+
+
+def psnr_pm1(a, b) -> float:
+    """PSNR for images in [-1, 1] mapped to the 0-255 convention."""
+    a8 = (np.asarray(a) / 2.0 + 0.5) * 255.0
+    b8 = (np.asarray(b) / 2.0 + 0.5) * 255.0
+    return psnr(a8, b8)
+
+
+def l0_token_mismatch(codes, orig_codes) -> jnp.ndarray:
+    """Fraction of mismatched tokens per row: ``[B, T] -> [B]``."""
+    codes = jnp.asarray(codes)
+    orig_codes = jnp.asarray(orig_codes)
+    return (codes != orig_codes).mean(axis=-1)
