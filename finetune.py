@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""RCC tokenizer finetuning CLI (TPU-native).
+
+Counterpart of the reference's ``finetune.py``: train a cloned
+watermark_encoder + decoder so decode->attack->encode round-trips preserve
+tokens. Data parallelism is a device mesh (all local devices by default)
+instead of DDP; the aug curriculum (``--augs_schedule 1,1,4,4`` =
+warmup/weak/medium/strong epochs) and the delta checkpoint format are
+preserved.
+
+Dataset: a directory of per-sample ``.npy`` token files (the reference's
+``CodesOnDiskDataset``, produced by ``precompute_imagenet_codes.py``) or one
+``.npy`` of shape [N, T]. ``--synthetic N`` trains on random codes (smoke).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, choices=["taming", "rar", "chameleon7b"], default="taming")
+    p.add_argument("--modelpath", type=str, default=None)
+    p.add_argument("--datapath", type=str, default=None)
+    p.add_argument("--dataset_size", type=int, default=None)
+    p.add_argument("--synthetic", type=int, default=0, help="train on N random code rows (smoke)")
+    p.add_argument("--tiny", action="store_true", help="random tiny tokenizer (smoke)")
+    p.add_argument("--mode", type=str, default="newenc-dec")
+    p.add_argument("--nb_epochs", type=int, default=10)
+    p.add_argument("--augs", type=str, choices=["none", "all+geom"], default="all+geom")
+    p.add_argument("--augs_schedule", type=str, default="1,1,4,4")
+    p.add_argument("--optimizer", type=str, default="adam")
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--batch_size_per_device", type=int, default=4)
+    p.add_argument("--idempotence_loss_weight", type=float, default=2.0)
+    p.add_argument("--loss", type=str, default="hard-to-soft-with-ae")
+    p.add_argument("--outdir", type=str, required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--lpips_weights", type=str, default=None)
+    return p
+
+
+def load_codes(args, vocab: int, tokens: int) -> np.ndarray:
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        return rng.integers(0, vocab, size=(args.synthetic, tokens)).astype(np.int32)
+    assert args.datapath, "--datapath or --synthetic required"
+    if os.path.isdir(args.datapath):
+        files = sorted(glob.glob(os.path.join(args.datapath, "**/*.npy"), recursive=True))
+        if args.dataset_size:
+            files = files[: args.dataset_size]
+        return np.stack([np.load(f).reshape(-1) for f in files]).astype(np.int32)
+    data = np.load(args.datapath).astype(np.int32)
+    return data[: args.dataset_size] if args.dataset_size else data
+
+
+def build_adapter(args):
+    import jax
+    import jax.numpy as jnp
+
+    from wmar_tpu.finetune import MaskGitRCCAdapter, TamingRCCAdapter
+    from wmar_tpu.models import (
+        MASKGIT_IMAGENET_F16,
+        MaskGitVQConfig,
+        MaskGitVQGAN,
+        TAMING_IMAGENET_F16,
+        TamingVQGAN,
+        VQGANConfig,
+    )
+    from wmar_tpu.utils import checkpoint as ckpt
+
+    if args.tiny:
+        if args.model == "rar":
+            cfg = MaskGitVQConfig(resolution=16, hidden_channels=32, channel_mult=(1, 2),
+                                  num_res_blocks=1, z_channels=16, n_embed=64, embed_dim=16)
+            model = MaskGitVQGAN(cfg)
+            variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+            return MaskGitRCCAdapter(model, variables), cfg.n_embed, cfg.codes_per_side**2
+        cfg = VQGANConfig(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), z_channels=32, n_embed=64, embed_dim=16)
+        model = TamingVQGAN(cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        return TamingRCCAdapter(model, variables), cfg.n_embed, cfg.codes_per_side**2
+
+    assert args.modelpath
+    if args.model == "rar":
+        cfg = MASKGIT_IMAGENET_F16
+        model = MaskGitVQGAN(cfg)
+        like = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3))))
+        variables = ckpt.load_pytree(
+            os.path.join(args.modelpath, "maskgit_vqgan.msgpack"),
+            jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), like),
+        )
+        return MaskGitRCCAdapter(model, variables), cfg.n_embed, cfg.codes_per_side**2
+    cfg = TAMING_IMAGENET_F16
+    model = TamingVQGAN(cfg)
+    like = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3))))
+    variables = ckpt.load_pytree(
+        os.path.join(args.modelpath, "vqgan.msgpack"),
+        jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), like),
+    )
+    return TamingRCCAdapter(model, variables), cfg.n_embed, cfg.codes_per_side**2
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from wmar_tpu.finetune import RCCConfig, init_state, make_optimizer, make_train_step
+    from wmar_tpu.finetune.perceptual import PerceptualLoss
+    from wmar_tpu.parallel import make_mesh, shard_batch
+    from wmar_tpu.utils import checkpoint as ckpt
+
+    os.makedirs(args.outdir, exist_ok=True)
+    adapter, vocab, tokens = build_adapter(args)
+    codes = load_codes(args, vocab, tokens)
+    print(f"dataset: {codes.shape[0]} rows of {codes.shape[1]} tokens")
+
+    n_dev = jax.local_device_count()
+    mesh = make_mesh(dp=n_dev, tp=1)
+    global_bs = args.batch_size_per_device * n_dev
+    steps_per_epoch = max(1, codes.shape[0] // global_bs)
+
+    cfg = RCCConfig(lr=args.lr, idem_weight=args.idempotence_loss_weight)
+    optimizer = make_optimizer(cfg, steps_per_epoch=steps_per_epoch)
+    state = init_state(adapter, optimizer)
+    orig_trainable = jax.tree.map(np.asarray, adapter.init_trainable())
+
+    lpips_params = None
+    if args.lpips_weights and os.path.exists(args.lpips_weights):
+        import flax.serialization
+
+        with open(args.lpips_weights, "rb") as f:
+            lpips_params = flax.serialization.msgpack_restore(f.read())
+    perceptual = PerceptualLoss(lpips_params)
+
+    # Curriculum: epochs -> level name
+    if args.augs == "none":
+        levels = ["warmup"] * args.nb_epochs
+    else:
+        schedule = [int(x) for x in args.augs_schedule.split(",")]
+        assert sum(schedule) == args.nb_epochs, "augs_schedule must sum to nb_epochs"
+        names = ["warmup", "weak", "medium", "strong"]
+        levels = [n for n, e in zip(names, schedule) for _ in range(e)]
+
+    steps = {}
+    rng = np.random.default_rng(args.seed)
+    t_start = time.time()
+    history = []
+    with jax.set_mesh(mesh):
+        for epoch, level in enumerate(levels):
+            if level not in steps:
+                steps[level] = jax.jit(
+                    make_train_step(adapter, cfg, level, optimizer, perceptual)
+                )
+            step_fn = steps[level]
+            perm = rng.permutation(codes.shape[0])
+            epoch_metrics = []
+            for bi in range(steps_per_epoch):
+                idx = perm[bi * global_bs : (bi + 1) * global_bs]
+                batch = shard_batch(mesh, jnp.asarray(codes[idx]))
+                key = jax.random.PRNGKey(args.seed + epoch * 100000 + bi)
+                state, metrics = step_fn(state, batch, key)
+                if bi % args.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    epoch_metrics.append(m)
+                    print(f"epoch {epoch} [{level}] step {bi}/{steps_per_epoch}: {m}")
+            # Per-epoch checkpoints: full weights + deltas (the published format).
+            ckpt.save_pytree(os.path.join(args.outdir, f"epoch{epoch}_trainable.msgpack"), state.trainable)
+            ckpt.save_delta(
+                os.path.join(args.outdir, f"epoch{epoch}_encoder_delta.msgpack"),
+                state.trainable["watermark_encoder"],
+                orig_trainable["watermark_encoder"],
+            )
+            ckpt.save_delta(
+                os.path.join(args.outdir, f"epoch{epoch}_decoder_delta.msgpack"),
+                state.trainable["decoder"],
+                orig_trainable["decoder"],
+            )
+            history.append({"epoch": epoch, "level": level, "metrics": epoch_metrics})
+    with open(os.path.join(args.outdir, "history.json"), "w") as f:
+        json.dump({"wall_s": time.time() - t_start, "epochs": history}, f, indent=1)
+    print(f"done in {time.time() - t_start:.1f}s")
+    return state
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -13,12 +13,15 @@ Differences by design: images are NHWC (TPU conv layout), all three stages
 is fused into the sampler rather than a host callback. ``sample`` is
 deterministic given (seed, chunk) via `fold_in`, replacing the reference's
 global-torch-seed discipline (``generate.py:303-308``).
+
+Implementation note: params are always *arguments* of the jitted functions,
+never closure captures — closure-captured weights become HLO constants,
+which bloats executables and breaks remote-compile backends.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -52,7 +55,7 @@ class GenParams:
 
 
 class ARMMWrapper:
-    """Base: shape checks + watermark plumbing shared by all frontends."""
+    """Base: shape checks + watermark plumbing + jit caching."""
 
     codes_size: int
     image_size: int
@@ -60,9 +63,11 @@ class ARMMWrapper:
     def __init__(self):
         self.watermark_spec: Optional[WatermarkSpec] = None
         self.greenlist = None
+        self._jit_cache: dict = {}
 
     def set_watermarker(self, spec: Optional[WatermarkSpec], torch_compat: bool = False):
         self.watermark_spec = spec
+        self._jit_cache.clear()
         if spec is not None:
             self.greenlist = make_greenlist(spec, self.get_vq(), torch_compat=torch_compat)
 
@@ -70,6 +75,12 @@ class ARMMWrapper:
         if self.watermark_spec is None:
             return None
         return WatermarkRuntime(self.watermark_spec, self.greenlist)
+
+    def _cached_jit(self, key, builder):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = jax.jit(builder())
+        return fn
 
     def get_vq(self) -> VQInfo:
         raise NotImplementedError
@@ -108,8 +119,8 @@ class TamingARMM(ARMMWrapper):
         vq_params,
         vq_cfg: VQGANConfig,
         alive_ids: Optional[np.ndarray] = None,
-        watermark_encoder_params=None,
-        cond_offset: Optional[int] = None,
+        cond_offset: int = 0,
+        cache_dtype=jnp.float32,
     ):
         super().__init__()
         self.gpt_params = gpt_params
@@ -120,10 +131,8 @@ class TamingARMM(ARMMWrapper):
         self.alive_ids = alive_ids
         self.codes_size = vq_cfg.codes_per_side
         self.image_size = vq_cfg.resolution
-        # Class token id offset in the transformer vocab; 0 for the published
-        # cin_transformer (label ids alias code ids, see class docstring).
-        self.cond_offset = 0 if cond_offset is None else cond_offset
-        self.watermark_encoder_params = watermark_encoder_params
+        self.cond_offset = cond_offset
+        self.cache_dtype = cache_dtype
 
     def get_vq(self) -> VQInfo:
         emb = np.asarray(self.vq_params["params"]["quantize"]["embedding"])
@@ -132,49 +141,63 @@ class TamingARMM(ARMMWrapper):
     def get_total_vocab_size(self) -> int:
         return self.vq_cfg.n_embed
 
-    @partial(jax.jit, static_argnums=(0, 3, 4))
-    def _sample(self, class_ids, rng, gen: GenParams, apply_watermark: bool):
+    def _build_sample(self, gen: GenParams, apply_watermark: bool):
         steps = self.codes_size**2
-        cond = (class_ids + self.cond_offset)[:, None]
-        init_logits, cache = taming_gpt.prefill(
-            self.gpt_params, self.gpt_cfg, cond, max_len=steps + cond.shape[1]
-        )
-        # For the published checkpoint the GPT head width equals the VQ
-        # vocab; the slice is a no-op there but keeps larger-vocab variants
-        # (separate class-token rows) correct.
-        init_logits = init_logits[:, : self.vq_cfg.n_embed]
-        step_fn_raw = taming_gpt.make_step_fn(self.gpt_params, self.gpt_cfg, cond_len=1)
-
-        def step_fn(cache, prev, step):
-            logits, cache = step_fn_raw(cache, prev, step)
-            return logits[:, : self.vq_cfg.n_embed], cache
-
+        gpt_cfg = self.gpt_cfg
+        v = self.vq_cfg.n_embed
         wm = self.watermark_runtime() if apply_watermark else None
-        tokens, _ = decode_tokens(
-            step_fn,
-            cache,
-            init_logits,
-            steps,
-            rng,
-            gen.sampler(),
-            watermark=wm,
-            cond_tokens=class_ids[:, None],
-        )
-        return tokens
+        cond_offset = self.cond_offset
+        cache_dtype = self.cache_dtype
+
+        def fn(gpt_params, class_ids, rng):
+            cond = (class_ids + cond_offset)[:, None]
+            init_logits, cache = taming_gpt.prefill(
+                gpt_params, gpt_cfg, cond, max_len=steps + cond.shape[1], dtype=cache_dtype
+            )
+            init_logits = init_logits[:, :v]
+            raw_step = taming_gpt.make_step_fn(gpt_params, gpt_cfg, cond_len=1)
+
+            def step_fn(cache, prev, step):
+                logits, cache = raw_step(cache, prev, step)
+                return logits[:, :v], cache
+
+            tokens, _ = decode_tokens(
+                step_fn,
+                cache,
+                init_logits,
+                steps,
+                rng,
+                gen.sampler(),
+                watermark=wm,
+                cond_tokens=class_ids[:, None],
+            )
+            return tokens
+
+        return fn
 
     def sample(self, conditioning, gen_params: GenParams, apply_watermark=False, rng=None):
         class_ids = jnp.asarray(conditioning, jnp.int32).reshape(-1)
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        return self._sample(class_ids, rng, gen_params, apply_watermark)
+        fn = self._cached_jit(
+            ("sample", gen_params, apply_watermark),
+            lambda: self._build_sample(gen_params, apply_watermark),
+        )
+        return fn(self.gpt_params, class_ids, rng)
 
-    @partial(jax.jit, static_argnums=0)
     def codes_to_images(self, codes):
-        imgs = self.vq.apply(self.vq_params, codes, method=TamingVQGAN.decode_codes)
-        return jnp.clip(imgs, -1.0, 1.0)
+        fn = self._cached_jit(
+            "c2i",
+            lambda: lambda vqp, c: jnp.clip(
+                self.vq.apply(vqp, c, method=TamingVQGAN.decode_codes), -1.0, 1.0
+            ),
+        )
+        return fn(self.vq_params, codes)
 
-    @partial(jax.jit, static_argnums=0)
     def images_to_codes(self, images):
-        return self.vq.apply(self.vq_params, images, method=TamingVQGAN.encode_codes)
+        fn = self._cached_jit(
+            "i2c", lambda: lambda vqp, im: self.vq.apply(vqp, im, method=TamingVQGAN.encode_codes)
+        )
+        return fn(self.vq_params, images)
 
 
 class RarARMM(ARMMWrapper):
@@ -210,39 +233,52 @@ class RarARMM(ARMMWrapper):
     def get_total_vocab_size(self) -> int:
         return self.vq_cfg.n_embed
 
-    @partial(jax.jit, static_argnums=(0, 3, 4))
-    def _sample(self, class_ids, rng, gen: GenParams, apply_watermark: bool):
-        sampler = RARSampler(
-            self.rar_params,
-            self.rar_cfg,
-            class_ids,
-            guidance_scale=gen.guidance_scale,
-            guidance_scale_pow=gen.guidance_scale_pow,
-            cache_dtype=self.cache_dtype,
-        )
-        init_logits, cache = sampler.prefill()
+    def _build_sample(self, gen: GenParams, apply_watermark: bool):
+        rar_cfg = self.rar_cfg
+        cache_dtype = self.cache_dtype
         wm = self.watermark_runtime() if apply_watermark else None
-        tokens, _ = decode_tokens(
-            sampler.step_fn,
-            cache,
-            init_logits,
-            self.rar_cfg.image_seq_len,
-            rng,
-            gen.sampler(),
-            watermark=wm,
-            cond_tokens=None,  # RAR's processor sees generated ids only
-        )
-        return tokens
+
+        def fn(rar_params, class_ids, rng):
+            sampler = RARSampler(
+                rar_params,
+                rar_cfg,
+                class_ids,
+                guidance_scale=gen.guidance_scale,
+                guidance_scale_pow=gen.guidance_scale_pow,
+                cache_dtype=cache_dtype,
+            )
+            init_logits, cache = sampler.prefill()
+            tokens, _ = decode_tokens(
+                sampler.step_fn,
+                cache,
+                init_logits,
+                rar_cfg.image_seq_len,
+                rng,
+                gen.sampler(),
+                watermark=wm,
+                cond_tokens=None,  # RAR's processor sees generated ids only
+            )
+            return tokens
+
+        return fn
 
     def sample(self, conditioning, gen_params: GenParams, apply_watermark=False, rng=None):
         class_ids = jnp.asarray(conditioning, jnp.int32).reshape(-1)
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        return self._sample(class_ids, rng, gen_params, apply_watermark)
+        fn = self._cached_jit(
+            ("sample", gen_params, apply_watermark),
+            lambda: self._build_sample(gen_params, apply_watermark),
+        )
+        return fn(self.rar_params, class_ids, rng)
 
-    @partial(jax.jit, static_argnums=0)
     def codes_to_images(self, codes):
-        return self.vq.apply(self.vq_params, codes, method=MaskGitVQGAN.decode_codes)
+        fn = self._cached_jit(
+            "c2i", lambda: lambda vqp, c: self.vq.apply(vqp, c, method=MaskGitVQGAN.decode_codes)
+        )
+        return fn(self.vq_params, codes)
 
-    @partial(jax.jit, static_argnums=0)
     def images_to_codes(self, images):
-        return self.vq.apply(self.vq_params, images, method=MaskGitVQGAN.encode_codes)
+        fn = self._cached_jit(
+            "i2c", lambda: lambda vqp, im: self.vq.apply(vqp, im, method=MaskGitVQGAN.encode_codes)
+        )
+        return fn(self.vq_params, images)

@@ -70,6 +70,17 @@ def rar_config(size: str, **kw) -> RARConfig:
 
 
 def init_rar_params(rng: jax.Array, cfg: RARConfig, dtype=jnp.float32):
+    """Random init (truncated normal 0.02, adaLN-zero). Jitted as one XLA
+    program — eager per-leaf init is pathologically slow on remote-compile
+    TPU backends."""
+    import functools
+
+    return jax.jit(
+        functools.partial(_init_rar_params_impl, cfg=cfg, dtype=dtype)
+    )(rng)
+
+
+def _init_rar_params_impl(rng: jax.Array, cfg: RARConfig, dtype=jnp.float32):
     keys = iter(jax.random.split(rng, 8 + 12 * cfg.depth))
 
     def trunc(shape, std=0.02):

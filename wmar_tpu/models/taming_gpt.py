@@ -39,7 +39,16 @@ class GPTConfig:
 
 
 def init_gpt_params(rng: jax.Array, cfg: GPTConfig, dtype=jnp.float32):
-    """Random init matching the reference's normal(0, 0.02) scheme."""
+    """Random init matching the reference's normal(0, 0.02) scheme.
+
+    Jitted as one XLA program — eager per-leaf init is pathologically slow
+    on remote-compile TPU backends."""
+    import functools
+
+    return jax.jit(functools.partial(_init_gpt_params_impl, cfg=cfg, dtype=dtype))(rng)
+
+
+def _init_gpt_params_impl(rng: jax.Array, cfg: GPTConfig, dtype=jnp.float32):
     keys = iter(jax.random.split(rng, 4 + 8 * cfg.n_layer))
 
     def normal(shape):

@@ -1,0 +1,26 @@
+"""Device-mesh parallelism (dp/tp) over ICI — the SPMD replacement for the
+reference's DDP + NCCL tensor-parallel worker pool."""
+
+from wmar_tpu.parallel.mesh import (
+    apply_specs,
+    batch_sharding,
+    gpt_tp_specs,
+    init_multihost,
+    kvcache_tp_spec,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "apply_specs",
+    "batch_sharding",
+    "gpt_tp_specs",
+    "init_multihost",
+    "kvcache_tp_spec",
+    "make_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,112 @@
+"""Mesh + sharding helpers: the TPU replacement for DDP/NCCL worker pools.
+
+The reference reaches NCCL three ways (SURVEY §2.10): DDP gradient
+all-reduce (``finetune.py:313-318``), Chameleon tensor-parallel collectives
+(``deps/chameleon/inference/transformer.py:159,220``), and SLURM/torchrun
+rendezvous (``wmar/utils/distributed.py:88-228``). Under SPMD all three
+collapse to: build a `Mesh`, annotate shardings, and let XLA insert
+collectives over ICI.
+
+Conventions: axis ``dp`` shards the batch (data parallel), axis ``tp``
+shards attention heads / MLP hidden / vocab (megatron-style tensor
+parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, tp) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of [B, ...] arrays with B sharded over ``dp``."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    r = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+def init_multihost(coordinator_address: Optional[str] = None):
+    """Multi-host bring-up: `jax.distributed.initialize` discovers peers via
+    the TPU pod runtime (no SLURM hostname parsing / MASTER_ADDR needed —
+    the reference's ``init_distributed_mode`` equivalent)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    except Exception:
+        pass  # single-host
+
+
+# ---------------------------------------------------------------------------
+# Megatron-style TP specs for the transformer frontends
+# ---------------------------------------------------------------------------
+
+
+def gpt_tp_specs(params: dict) -> dict:
+    """PartitionSpecs for ``taming_gpt`` params: column-shard QKV/fc over
+    ``tp``, row-shard proj, shard the vocab head. XLA inserts the per-layer
+    all-reduces the reference issues manually (``transformer.py:159,220``)."""
+
+    def block_spec(_):
+        return {
+            "ln1": {"scale": P(), "bias": P()},
+            "ln2": {"scale": P(), "bias": P()},
+            "attn": {
+                "q": {"w": P(None, "tp"), "b": P("tp")},
+                "k": {"w": P(None, "tp"), "b": P("tp")},
+                "v": {"w": P(None, "tp"), "b": P("tp")},
+                "proj": {"w": P("tp", None), "b": P()},
+            },
+            "mlp": {
+                "fc": {"w": P(None, "tp"), "b": P("tp")},
+                "proj": {"w": P("tp", None), "b": P()},
+            },
+        }
+
+    return {
+        "tok_emb": P(),
+        "pos_emb": P(),
+        "blocks": [block_spec(b) for b in params["blocks"]],
+        "ln_f": {"scale": P(), "bias": P()},
+        "head": P(None, "tp"),
+    }
+
+
+def kvcache_tp_spec() -> P:
+    """KV caches shard over heads (dim 2 of [L, B, H, T, D])."""
+    return P(None, None, "tp", None, None)
+
+
+def apply_specs(mesh: Mesh, tree, specs):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        tree,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
