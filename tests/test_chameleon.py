@@ -1,0 +1,146 @@
+"""Chameleon frontend: vocab translation, CFG prompts, t2i sampling, TP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wmar_tpu.core import WatermarkSpec, detect
+from wmar_tpu.core.spec import SeedStrategy, SplitStrategy
+from wmar_tpu.engine import KVCache
+from wmar_tpu.models import (
+    ChameleonARMM,
+    ChameleonVocab,
+    GenParams,
+    LlamaConfig,
+    TamingVQGAN,
+    VQGANConfig,
+    build_cfg_prompts,
+    init_llama_params,
+    llama_forward,
+    llama_tp_specs,
+)
+from wmar_tpu.parallel import apply_specs, make_mesh
+
+VOCAB = ChameleonVocab.synthetic(n_codes=16, n_text=20)
+LCFG = LlamaConfig(
+    dim=32, n_layers=2, n_heads=4, vocab_size=VOCAB.vocab_size,
+    multiple_of=16, qk_normalization=True,
+)
+TINY_VQ = VQGANConfig(
+    resolution=8, ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
+    z_channels=32, n_embed=16, embed_dim=8,
+)
+
+
+def simple_tokenizer(text):
+    return [6 + (ord(c) % 20) for c in text[:5]]
+
+
+@pytest.fixture(scope="module")
+def chameleon():
+    params = init_llama_params(jax.random.PRNGKey(0), LCFG)
+    vq = TamingVQGAN(TINY_VQ)
+    vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+    return ChameleonARMM(
+        params, LCFG, VOCAB, vq_params, TINY_VQ,
+        tokenizer=simple_tokenizer, image_seq_len=16, cache_dtype=jnp.float32,
+    )
+
+
+def test_vocab_translation_roundtrip():
+    assert len(VOCAB.image_tokens) == 16
+    img = jnp.arange(16)
+    bpe = VOCAB.img_to_bpe(img)
+    back = VOCAB.bpe_to_img(bpe)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+    # text tokens are not image tokens
+    assert not bool(VOCAB.image_token_mask[6])
+    assert bool(VOCAB.image_token_mask[VOCAB.image_tokens[0]])
+
+
+def test_build_cfg_prompts_rows():
+    p1 = [VOCAB.bos_id, 7, 8, VOCAB.eot_id]
+    p2 = [VOCAB.bos_id, 9]
+    toks, start, lens = build_cfg_prompts(VOCAB, [p1, p2])
+    assert toks.shape[0] == 6  # 3 rows x batch 2
+    # every row ends with boi
+    assert (toks[:, -1] == VOCAB.boi_id).all()
+    # uncond rows are [bos, boi]
+    assert lens[4] == 2 and lens[5] == 2
+    # right alignment: row 1 (len 5) has start = L-5
+    assert start[0] == toks.shape[1] - 5
+    # left padding is pad_id
+    assert (toks[4, : toks.shape[1] - 2] == VOCAB.pad_id).all()
+
+
+def test_left_padded_prefill_matches_unpadded():
+    """Right-aligned prompt with left pads gives the same last-token logits
+    as the unpadded prompt (pad masking + rope offsets are correct)."""
+    params = init_llama_params(jax.random.PRNGKey(0), LCFG)
+    prompt = jnp.array([[VOCAB.bos_id, 7, 8, VOCAB.boi_id]], dtype=jnp.int32)
+    cache = KVCache.zeros(LCFG.n_layers, 1, LCFG.n_heads, 8, LCFG.head_dim)
+    pos = jnp.arange(4)[None, :]
+    logits_a, _ = llama_forward(params, LCFG, prompt, cache, 0, pos, start=jnp.array([0]))
+
+    padded = jnp.concatenate(
+        [jnp.full((1, 3), VOCAB.pad_id, jnp.int32), prompt], axis=1
+    )
+    cache_b = KVCache.zeros(LCFG.n_layers, 1, LCFG.n_heads, 11, LCFG.head_dim)
+    start = jnp.array([3])
+    pos_b = jnp.maximum(jnp.arange(7)[None, :] - 3, 0)
+    logits_b, _ = llama_forward(params, LCFG, padded, cache_b, 0, pos_b, start=start)
+    np.testing.assert_allclose(
+        np.asarray(logits_a[:, -1]), np.asarray(logits_b[:, -1]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_t2i_sample_only_image_tokens(chameleon):
+    gen = GenParams(temperature=0.7, top_p=0.9)
+    codes = chameleon.sample(
+        [(0, "a cat"), (1, "a dog")], gen, apply_watermark=False, rng=jax.random.PRNGKey(0)
+    )
+    assert codes.shape == (2, 16)
+    mask = np.asarray(VOCAB.image_token_mask)
+    assert mask[np.asarray(codes)].all(), "sampled non-image tokens"
+
+
+def test_t2i_watermark_detects(chameleon):
+    spec = WatermarkSpec(
+        vocab_size=VOCAB.vocab_size,
+        seed_strategy=SeedStrategy.LINEAR,
+        split_strategy=SplitStrategy.RANDOM,
+        context_size=1,
+        delta=12.0,
+        gamma=0.25,
+        spatial_dim=4,
+    )
+    chameleon.set_watermarker(spec)
+    gen = GenParams(temperature=1.0, top_p=1.0)
+    codes = chameleon.sample([(0, "x")], gen, apply_watermark=True, rng=jax.random.PRNGKey(1))
+    pv = np.asarray(detect(spec, chameleon.greenlist, codes))
+    # 16 tokens is few; just require clear signal
+    assert (pv < 0.05).all(), pv
+    imgs = chameleon.codes_to_images(codes)
+    assert chameleon.is_images_shaped(imgs)
+    codes_rt = chameleon.images_to_codes(imgs)
+    assert codes_rt.shape == codes.shape
+    # round-tripped codes are valid image BPE ids
+    assert np.asarray(VOCAB.image_token_mask)[np.asarray(codes_rt)].all()
+
+
+def test_llama_tp_forward_matches_replicated():
+    """TP-sharded params give the same logits as replicated (2-way tp)."""
+    mesh = make_mesh(dp=4, tp=2)
+    params = init_llama_params(jax.random.PRNGKey(0), LCFG)
+    tokens = jnp.array([[VOCAB.bos_id, 7, 8]], dtype=jnp.int32)
+    cache = KVCache.zeros(LCFG.n_layers, 1, LCFG.n_heads, 8, LCFG.head_dim)
+    pos = jnp.arange(3)[None, :]
+    ref_logits, _ = llama_forward(params, LCFG, tokens, cache, 0, pos)
+
+    with jax.set_mesh(mesh):
+        sharded = apply_specs(mesh, params, llama_tp_specs(params))
+        f = jax.jit(lambda p, t: llama_forward(p, LCFG, t, cache, 0, pos)[0])
+        tp_logits = f(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(ref_logits), np.asarray(tp_logits), rtol=2e-3, atol=2e-3)

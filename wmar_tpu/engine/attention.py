@@ -42,6 +42,7 @@ def decode_attention(
     v_cache: jnp.ndarray,
     valid_len,
     scale: Optional[float] = None,
+    start=None,
 ) -> jnp.ndarray:
     """One-token decode attention against a padded cache.
 
@@ -50,6 +51,9 @@ def decode_attention(
       k_cache, v_cache: ``[B, H, T_max, D]`` padded caches.
       valid_len: scalar — number of valid cache positions (including the
         freshly written current token(s)).
+      start: optional per-row ``[B]`` first valid cache index — masks out
+        left padding of right-aligned ragged prompts (the reference's
+        AlignPromptRight + BlockDiagonal attention bias).
 
     Returns:
       ``[B, H, t, D]`` attention outputs.
@@ -58,17 +62,20 @@ def decode_attention(
     scale = scale if scale is not None else d**-0.5
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache).astype(jnp.float32) * scale
     t_max = k_cache.shape[2]
-    pos_ok = jnp.arange(t_max) < valid_len  # [T_max]
+    ar = jnp.arange(t_max)
     if q.shape[2] > 1:
-        # Multi-token decode burst (e.g. RAR's [cls, cond] prefix): causal
+        # Multi-token decode burst (prefill through the cache): causal
         # within the burst. Query i sits at absolute position
         # valid_len - t + i, keys are valid up to and including it.
         t = q.shape[2]
         qpos = valid_len - t + jnp.arange(t)  # [t]
-        pos_ok = jnp.arange(t_max)[None, :] <= qpos[:, None]  # [t, T_max]
-        s = jnp.where(pos_ok[None, None], s, NEG_INF)
+        pos_ok = ar[None, :] <= qpos[:, None]  # [t, T_max]
+        pos_ok = jnp.broadcast_to(pos_ok[None], (q.shape[0], t, t_max))
     else:
-        s = jnp.where(pos_ok[None, None, None], s, NEG_INF)
+        pos_ok = jnp.broadcast_to((ar < valid_len)[None, None], (q.shape[0], 1, t_max))
+    if start is not None:
+        pos_ok = pos_ok & (ar[None, None, :] >= start[:, None, None])
+    s = jnp.where(pos_ok[:, None], s, NEG_INF)
     p = jnp.exp(s - s.max(axis=-1, keepdims=True))
     p = p / p.sum(axis=-1, keepdims=True)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_cache.dtype), v_cache)

@@ -1,6 +1,13 @@
 """Model frontends: Taming GPT, RAR, VQGAN tokenizers, ARMM wrappers."""
 
 from wmar_tpu.models.armm import ARMMWrapper, GenParams, RarARMM, TamingARMM
+from wmar_tpu.models.chameleon import (
+    ChameleonARMM,
+    ChameleonVocab,
+    ImageCFGOptions,
+    build_cfg_prompts,
+)
+from wmar_tpu.models.llama import CHAMELEON_7B, LlamaConfig, init_llama_params, llama_forward, llama_tp_specs
 from wmar_tpu.models.maskgit_vqgan import MASKGIT_IMAGENET_F16, MaskGitVQConfig, MaskGitVQGAN
 from wmar_tpu.models.rar import RARConfig, RARSampler, init_rar_params, rar_config
 from wmar_tpu.models.taming_gpt import GPTConfig, gpt_forward, init_gpt_params
@@ -13,7 +20,16 @@ from wmar_tpu.models.vqgan import (
 
 __all__ = [
     "ARMMWrapper",
+    "CHAMELEON_7B",
     "CHAMELEON_F16",
+    "ChameleonARMM",
+    "ChameleonVocab",
+    "ImageCFGOptions",
+    "LlamaConfig",
+    "build_cfg_prompts",
+    "init_llama_params",
+    "llama_forward",
+    "llama_tp_specs",
     "GPTConfig",
     "GenParams",
     "MASKGIT_IMAGENET_F16",

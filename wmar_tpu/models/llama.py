@@ -1,0 +1,200 @@
+"""Llama-style transformer (Chameleon/Anole-7B backbone), TPU-native.
+
+Re-implements the architecture of ``deps/chameleon/inference/transformer.py``
+— RMSNorm pre-norm blocks, rotary embeddings, SwiGLU FFN, optional per-head
+qk-LayerNorm (Chameleon setting), GQA-capable — as pure functions over a
+param pytree, with a preallocated KV cache and per-row start offsets for
+right-aligned ragged prompts.
+
+The reference shards this model across GPU workers with explicit
+``dist.all_reduce`` after attention/FFN and all-gathered sharded embeddings
+(``transformer.py:159,220,324-336``). Here tensor parallelism is pure
+sharding metadata (:func:`llama_tp_specs`); XLA inserts the equivalent
+collectives over ICI when params are placed on a ``tp`` mesh axis.
+
+Chameleon-7B config: dim 4096, 32 layers/heads, ffn 11008, qk_normalization,
+vocab 65536 (``models/7b/params.json``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from wmar_tpu.engine.attention import decode_attention
+from wmar_tpu.engine.kvcache import KVCache
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: Optional[int] = None
+    vocab_size: int = 65536
+    multiple_of: int = 256
+    ffn_dim_multiplier: Optional[float] = None
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    qk_normalization: bool = True
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @property
+    def ffn_hidden(self) -> int:
+        hidden = int(2 * (4 * self.dim) / 3)
+        if self.ffn_dim_multiplier is not None:
+            hidden = int(self.ffn_dim_multiplier * hidden)
+        return self.multiple_of * ((hidden + self.multiple_of - 1) // self.multiple_of)
+
+
+CHAMELEON_7B = LlamaConfig()
+
+
+def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
+    """Random init (one jitted XLA program; see rar.py note)."""
+    import functools
+
+    return jax.jit(functools.partial(_init_impl, cfg=cfg, dtype=dtype))(rng)
+
+
+def _init_impl(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
+    keys = iter(jax.random.split(rng, 4 + 8 * cfg.n_layers))
+
+    def mat(n_in, n_out):
+        return (jax.random.normal(next(keys), (n_in, n_out)) * (n_in**-0.5)).astype(dtype)
+
+    d, hd = cfg.dim, cfg.head_dim
+    blocks = []
+    for _ in range(cfg.n_layers):
+        blk = {
+            "attention_norm": jnp.ones((d,), dtype),
+            "ffn_norm": jnp.ones((d,), dtype),
+            "wq": mat(d, cfg.n_heads * hd),
+            "wk": mat(d, cfg.kv_heads * hd),
+            "wv": mat(d, cfg.kv_heads * hd),
+            "wo": mat(cfg.n_heads * hd, d),
+            "w1": mat(d, cfg.ffn_hidden),
+            "w3": mat(d, cfg.ffn_hidden),
+            "w2": mat(cfg.ffn_hidden, d),
+        }
+        if cfg.qk_normalization:
+            blk["q_norm"] = {"scale": jnp.ones((hd,), dtype), "bias": jnp.zeros((hd,), dtype)}
+            blk["k_norm"] = {"scale": jnp.ones((hd,), dtype), "bias": jnp.zeros((hd,), dtype)}
+        blocks.append(blk)
+    return {
+        "tok_embeddings": mat(cfg.vocab_size, d) * 0.02 * (cfg.vocab_size**0.5),
+        "blocks": blocks,
+        "norm": jnp.ones((d,), dtype),
+        "output": mat(d, cfg.vocab_size),
+    }
+
+
+def _rms(x, scale, eps):
+    var = (x.astype(jnp.float32) ** 2).mean(-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+
+
+def _ln(x, p, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Llama rotary embedding on adjacent pairs. ``x [B, t, H, D]``,
+    ``positions [B, t]`` (per-row, so left padding shifts correctly)."""
+    b, t, h, d = x.shape
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))  # [d/2]
+    ang = positions[..., None].astype(jnp.float32) * freqs  # [B, t, d/2]
+    cos, sin = jnp.cos(ang)[:, :, None, :], jnp.sin(ang)[:, :, None, :]
+    xr = x.reshape(b, t, h, d // 2, 2)
+    x0, x1 = xr[..., 0], xr[..., 1]
+    out = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    return out.reshape(b, t, h, d).astype(x.dtype)
+
+
+def llama_forward(
+    params,
+    cfg: LlamaConfig,
+    tokens: jnp.ndarray,
+    cache: KVCache,
+    write_pos,
+    positions: jnp.ndarray,
+    start: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Forward ``tokens [B, t]`` written into the cache at ``write_pos``.
+
+    ``positions [B, t]``: rope positions (prompt-relative, pads excluded).
+    ``start [B]``: first valid cache index per row (left-pad masking).
+    Returns ``(logits [B, t, vocab] fp32, cache)``.
+    """
+    b, t = tokens.shape
+    x = params["tok_embeddings"][tokens]
+    n_rep = cfg.n_heads // cfg.kv_heads
+
+    for li, blk in enumerate(params["blocks"]):
+        h = _rms(x, blk["attention_norm"], cfg.norm_eps)
+        q = (h @ blk["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = (h @ blk["wk"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        v = (h @ blk["wv"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        if cfg.qk_normalization:
+            q = _ln(q, blk["q_norm"], cfg.norm_eps)
+            k = _ln(k, blk["k_norm"], cfg.norm_eps)
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+        if n_rep > 1:
+            k = jnp.repeat(k, n_rep, axis=2)
+            v = jnp.repeat(v, n_rep, axis=2)
+        q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
+        cache = cache.write(li, write_pos, k, v)
+        k_all, v_all = cache.layer(li)
+        attn = decode_attention(q, k_all, v_all, jnp.asarray(write_pos) + t, start=start)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
+        x = x + attn @ blk["wo"]
+
+        h2 = _rms(x, blk["ffn_norm"], cfg.norm_eps)
+        x = x + (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+
+    x = _rms(x, params["norm"], cfg.norm_eps)
+    logits = (x @ params["output"]).astype(jnp.float32)
+    return logits, cache
+
+
+def llama_tp_specs(params: dict) -> dict:
+    """Megatron sharding: column-parallel wq/wk/wv/w1/w3 + vocab output,
+    row-parallel wo/w2 — XLA inserts the reference's manual all-reduces."""
+
+    def block_spec(blk):
+        spec = {
+            "attention_norm": P(),
+            "ffn_norm": P(),
+            "wq": P(None, "tp"),
+            "wk": P(None, "tp"),
+            "wv": P(None, "tp"),
+            "wo": P("tp", None),
+            "w1": P(None, "tp"),
+            "w3": P(None, "tp"),
+            "w2": P("tp", None),
+        }
+        if "q_norm" in blk:
+            spec["q_norm"] = {"scale": P(), "bias": P()}
+            spec["k_norm"] = {"scale": P(), "bias": P()}
+        return spec
+
+    return {
+        "tok_embeddings": P("tp", None),
+        "blocks": [block_spec(b) for b in params["blocks"]],
+        "norm": P(),
+        "output": P(None, "tp"),
+    }
