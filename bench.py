@@ -49,7 +49,7 @@ def main():
     )
 
     tiny = os.environ.get("BENCH_TINY", "0") == "1" or jax.devices()[0].platform == "cpu"
-    batch = int(os.environ.get("BENCH_BATCH", "4" if tiny else "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "4" if tiny else "64"))
     iters = int(os.environ.get("BENCH_ITERS", "1" if tiny else "3"))
 
     if tiny:
