@@ -1,0 +1,268 @@
+"""Moshi-style audio LM: temporal transformer + depformer, watermark-fused.
+
+TPU-native counterpart of ``wmar_audio/moshi/models/lm.py``: one temporal
+transformer runs over frames whose input is the summed embeddings of the
+text stream plus K RVQ audio streams (with per-stream delays,
+``lm.py:520-541``); a small "depformer" then predicts the K codebooks of the
+current frame sequentially (``lm.py:611-647``). The watermark hooks replace
+the samplers exactly like the reference: the text stream uses an n-gram
+window hash of its own history, the audio streams use the fixed seed hash
+(``wm_ngram = 0``).
+
+The reference's CUDA-graph streaming step becomes the body of a `lax.scan`;
+the per-frame depformer loop is a static K-step unroll inside the scan.
+Backbone layers use the shared Llama block implementation — converting real
+Moshi weights additionally needs its gating variants (later round); all
+generation mechanics (delays, hooks, caches) are complete.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wmar_tpu.audio import wm as audio_wm
+from wmar_tpu.engine.kvcache import KVCache
+from wmar_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class MoshiConfig:
+    n_audio_streams: int = 8
+    audio_vocab: int = 2048
+    text_vocab: int = 32000
+    dim: int = 512
+    n_layers: int = 4
+    n_heads: int = 8
+    dep_dim: int = 256
+    dep_layers: int = 2
+    dep_heads: int = 4
+    delays: Sequence[int] = (0, 1, 1, 1, 1, 1, 1, 1)  # per audio stream
+
+    @property
+    def ungenerated(self) -> int:
+        return self.audio_vocab  # sentinel id for not-yet-available tokens
+
+    @property
+    def text_ungenerated(self) -> int:
+        return self.text_vocab
+
+    def temporal_cfg(self) -> LlamaConfig:
+        return LlamaConfig(
+            dim=self.dim, n_layers=self.n_layers, n_heads=self.n_heads,
+            vocab_size=8, multiple_of=16, qk_normalization=False,
+        )
+
+    def dep_cfg(self) -> LlamaConfig:
+        return LlamaConfig(
+            dim=self.dep_dim, n_layers=self.dep_layers, n_heads=self.dep_heads,
+            vocab_size=8, multiple_of=16, qk_normalization=False,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class WMConfig:
+    """Which streams are watermarked and how (``main_wm.py:115-122``)."""
+
+    method: str = "maryland"  # maryland | gumbel | none
+    streams: Sequence[int] = tuple(range(9))  # 0 = text, 1..K = audio
+    ngram: int = 1  # text-stream context size
+    delta: float = 4.0
+    gamma: float = 0.25
+    seed: int = 0
+    temp: float = 0.8
+    top_k: int = 250
+
+
+def init_moshi_params(rng: jax.Array, cfg: MoshiConfig, dtype=jnp.float32):
+    k = jax.random.split(rng, 10)
+    tcfg, dcfg = cfg.temporal_cfg(), cfg.dep_cfg()
+    temporal = init_llama_params(k[0], tcfg, dtype)
+    dep = init_llama_params(k[1], dcfg, dtype)
+
+    def emb(key, n, d):
+        return (jax.random.normal(key, (n, d)) * 0.02).astype(dtype)
+
+    return {
+        "temporal": temporal,
+        "dep": dep,
+        "text_emb": emb(k[2], cfg.text_vocab + 1, cfg.dim),
+        "audio_emb": emb(k[3], cfg.n_audio_streams * (cfg.audio_vocab + 1), cfg.dim),
+        "text_head": emb(k[4], cfg.dim, cfg.text_vocab),
+        "dep_in": emb(k[5], cfg.dim, cfg.dep_dim),
+        "dep_tok_emb": emb(k[6], cfg.n_audio_streams * (cfg.audio_vocab + 1) + cfg.text_vocab + 1, cfg.dep_dim),
+        "dep_heads": emb(k[7], cfg.n_audio_streams * cfg.dep_dim, cfg.audio_vocab).reshape(
+            cfg.n_audio_streams, cfg.dep_dim, cfg.audio_vocab
+        ),
+    }
+
+
+def _temporal_step(params, cfg: MoshiConfig, x_emb, cache, pos):
+    """One frame through the temporal backbone: embeddings are pre-summed, so
+    we bypass token lookup by injecting x directly (tokens arg unused)."""
+    tcfg = cfg.temporal_cfg()
+    # llama_forward embeds tokens; we already have embeddings, so inline the
+    # block stack here via a tiny shim: write embeddings through the same
+    # code path by temporarily treating x as the embedding output.
+    from wmar_tpu.models import llama as L
+
+    b = x_emb.shape[0]
+    x = x_emb[:, None, :]
+    positions = jnp.full((b, 1), pos, jnp.int32)
+    n_rep = 1
+    for li, blk in enumerate(params["blocks"]):
+        h = L._rms(x, blk["attention_norm"], tcfg.norm_eps)
+        q = (h @ blk["wq"]).reshape(b, 1, tcfg.n_heads, tcfg.head_dim)
+        k = (h @ blk["wk"]).reshape(b, 1, tcfg.kv_heads, tcfg.head_dim)
+        v = (h @ blk["wv"]).reshape(b, 1, tcfg.kv_heads, tcfg.head_dim)
+        q = L.apply_rope(q, positions, tcfg.rope_theta)
+        k = L.apply_rope(k, positions, tcfg.rope_theta)
+        q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
+        cache = cache.write(li, pos, k, v)
+        k_all, v_all = cache.layer(li)
+        from wmar_tpu.engine.attention import decode_attention
+
+        attn = decode_attention(q, k_all, v_all, jnp.asarray(pos) + 1)
+        x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, tcfg.dim) @ blk["wo"]
+        h2 = L._rms(x, blk["ffn_norm"], tcfg.norm_eps)
+        x = x + (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+    x = L._rms(x, params["norm"], tcfg.norm_eps)
+    return x[:, 0], cache
+
+
+class MoshiGen:
+    """Streaming generation with fused watermark (LMGen.step counterpart)."""
+
+    def __init__(self, params, cfg: MoshiConfig, wm_cfg: Optional[WMConfig] = None):
+        self.params = params
+        self.cfg = cfg
+        self.wm = wm_cfg
+
+    def _sample_stream(self, logits, stream_idx, ctx_tokens, rng):
+        """Apply the right sampler for one stream (0 = text). ``ctx_tokens``
+        is the [B, ngram] text context window (text stream only)."""
+        wm = self.wm
+        use_wm = wm is not None and wm.method != "none" and stream_idx in wm.streams
+        if not use_wm:
+            return audio_wm.wm_sample_token(
+                logits, "none", rng=rng, temp=0.8, top_k=250
+            )
+        if stream_idx == 0 and wm.ngram > 0:
+            hashes = audio_wm.window_hash(ctx_tokens, wm.seed)
+        else:
+            hashes = audio_wm.window_hash(
+                jnp.zeros((logits.shape[0], 0), jnp.int32), wm.seed
+            )
+        return audio_wm.wm_sample_token(
+            logits, wm.method, window_hashes=hashes, rng=rng,
+            temp=wm.temp, top_k=wm.top_k, gamma=wm.gamma, delta=wm.delta,
+        )
+
+    def generate(
+        self,
+        n_frames: int,
+        rng: jax.Array,
+        batch: int = 1,
+        prompt_codes: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Generate ``n_frames``; returns (text [B, T], audio [B, K, T]).
+
+        ``prompt_codes [B, K, Tp]`` optionally teacher-forces the first
+        frames' audio inputs (the reference's audio-prompted eval).
+        """
+        cfg = self.cfg
+        p = self.params
+        k_streams = cfg.n_audio_streams
+        tcfg, dcfg = cfg.temporal_cfg(), cfg.dep_cfg()
+        max_delay = max(cfg.delays)
+
+        t_cache = KVCache.zeros(tcfg.n_layers, batch, tcfg.n_heads, n_frames + 1, tcfg.head_dim)
+        text_hist0 = jnp.full((batch, n_frames + 8), cfg.text_ungenerated, jnp.int32)
+        audio_hist0 = jnp.full(
+            (batch, k_streams, n_frames + max_delay + 1), cfg.ungenerated, jnp.int32
+        )
+        if prompt_codes is not None:
+            tp = prompt_codes.shape[-1]
+            audio_hist0 = audio_hist0.at[:, :, :tp].set(prompt_codes)
+
+        def frame(carry, t):
+            t_cache, text_hist, audio_hist = carry
+            # 1. Temporal input: sum of text + per-stream delayed embeddings.
+            prev_text = text_hist[:, jnp.maximum(t + 7, 0)]  # last written slot
+            x = p["text_emb"][jnp.where(t > 0, prev_text, cfg.text_ungenerated)]
+            for s in range(k_streams):
+                idx = t - 1 - cfg.delays[s]
+                tok = audio_hist[:, s, jnp.maximum(idx, 0)]
+                tok = jnp.where(idx >= 0, tok, cfg.ungenerated)
+                x = x + p["audio_emb"][s * (cfg.audio_vocab + 1) + tok]
+            h, t_cache = _temporal_step(p["temporal"], cfg, x, t_cache, t)
+
+            # 2. Text stream (watermark context = its own last ngram tokens).
+            text_logits = h @ p["text_head"]
+            r = jax.random.fold_in(rng, t)
+            ngram = self.wm.ngram if self.wm else 0
+            ctx = (
+                jax.lax.dynamic_slice(text_hist, (0, t + 8 - max(ngram, 1)), (batch, max(ngram, 1)))
+                if ngram > 0 else jnp.zeros((batch, 0), jnp.int32)
+            )
+            text_tok = self._sample_stream(text_logits, 0, ctx, jax.random.fold_in(r, 0))
+            text_hist = jax.lax.dynamic_update_slice(
+                text_hist, text_tok[:, None].astype(jnp.int32), (0, t + 8)
+            )
+
+            # 3. Depformer: K sequential codebooks for frame t.
+            dep_cache = KVCache.zeros(dcfg.n_layers, batch, dcfg.n_heads, k_streams + 1, dcfg.head_dim)
+            prev_tok_emb = p["dep_tok_emb"][k_streams * (cfg.audio_vocab + 1) + text_tok]
+            frame_tokens = []
+            for s in range(k_streams):
+                dep_in = prev_tok_emb + h @ p["dep_in"]
+                hd, dep_cache = _dep_step(p["dep"], dcfg, dep_in, dep_cache, s)
+                logits = hd @ p["dep_heads"][s]
+                tok = self._sample_stream(logits, s + 1, text_hist, jax.random.fold_in(r, s + 1))
+                frame_tokens.append(tok)
+                prev_tok_emb = p["dep_tok_emb"][s * (cfg.audio_vocab + 1) + tok]
+            frame_audio = jnp.stack(frame_tokens, axis=1).astype(jnp.int32)  # [B, K]
+            if prompt_codes is not None:
+                tp = prompt_codes.shape[-1]
+                forced = jax.lax.dynamic_slice(
+                    prompt_codes, (0, 0, jnp.minimum(t, tp - 1)), (batch, k_streams, 1)
+                )[:, :, 0]
+                frame_audio = jnp.where(t < tp, forced, frame_audio)
+            audio_hist = jax.lax.dynamic_update_slice(
+                audio_hist, frame_audio[:, :, None], (0, 0, t)
+            )
+            return (t_cache, text_hist, audio_hist), (text_tok, frame_audio)
+
+        (_, _, _), (text, audio) = jax.lax.scan(
+            frame, (t_cache, text_hist0, audio_hist0), jnp.arange(n_frames, dtype=jnp.int32)
+        )
+        return text.T, audio.transpose(1, 2, 0)  # [B, T], [B, K, T]
+
+
+def _dep_step(params, dcfg, x_emb, cache, pos):
+    """One depformer position (same shim as the temporal step)."""
+    from wmar_tpu.engine.attention import decode_attention
+    from wmar_tpu.models import llama as L
+
+    b = x_emb.shape[0]
+    x = x_emb[:, None, :]
+    positions = jnp.full((b, 1), pos, jnp.int32)
+    for li, blk in enumerate(params["blocks"]):
+        h = L._rms(x, blk["attention_norm"], dcfg.norm_eps)
+        q = (h @ blk["wq"]).reshape(b, 1, dcfg.n_heads, dcfg.head_dim)
+        k = (h @ blk["wk"]).reshape(b, 1, dcfg.kv_heads, dcfg.head_dim)
+        v = (h @ blk["wv"]).reshape(b, 1, dcfg.kv_heads, dcfg.head_dim)
+        q = L.apply_rope(q, positions, dcfg.rope_theta)
+        k = L.apply_rope(k, positions, dcfg.rope_theta)
+        q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
+        cache = cache.write(li, pos, k, v)
+        k_all, v_all = cache.layer(li)
+        attn = decode_attention(q, k_all, v_all, jnp.asarray(pos) + 1)
+        x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, dcfg.dim) @ blk["wo"]
+        h2 = L._rms(x, blk["ffn_norm"], dcfg.norm_eps)
+        x = x + (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+    x = L._rms(x, params["norm"], dcfg.norm_eps)
+    return x[:, 0], cache
