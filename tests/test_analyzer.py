@@ -1,0 +1,75 @@
+"""Analyzer: record loading, token-match stats, robustness tables."""
+
+import json
+import os
+
+import numpy as np
+
+from wmar_tpu.eval.analyzer import (
+    full_attack_grid,
+    load_records,
+    markdown_table,
+    records_from_list,
+    robustness_table,
+    token_match_stats,
+    tpr_at_fpr,
+)
+
+
+def make_records():
+    recs = []
+    # 10 watermarked samples: strong detection unattacked, weak under blur
+    for i in range(10):
+        recs.append(dict(conditioning=1, idx=i, method="m", transform="roundtrips",
+                         param=0, pvalue=1e-8, l0=0.0, psnr=99.0))
+        recs.append(dict(conditioning=1, idx=i, method="m", transform="roundtrips",
+                         param=1, pvalue=1e-6, l0=0.05, psnr=30.0))
+        recs.append(dict(conditioning=1, idx=i, method="m", transform="gaussian-blur",
+                         param=9, pvalue=0.5 if i < 5 else 1e-4, l0=0.4, psnr=25.0))
+        recs.append(dict(conditioning=1, idx=i, method="m", transform="rotation",
+                         param=10, pvalue=0.9, l0=0.8, psnr=20.0))
+    return records_from_list(recs)
+
+
+def test_tpr_at_fpr():
+    assert tpr_at_fpr(np.array([0.001, 0.5, 0.002, 0.9])) == 0.5
+
+
+def test_token_match_stats():
+    recs = make_records()
+    s = token_match_stats(recs, roundtrip=1)
+    assert abs(s["mean"] - 0.95) < 1e-9 and s["n"] == 10
+    assert s["frac_above_0.8"] == 1.0
+
+
+def test_robustness_table_categories():
+    recs = make_records()
+    t = robustness_table(recs)
+    assert t["per_attack"]["None"] == 1.0
+    assert t["per_attack"]["gaussian-blur"] == 0.5
+    assert t["per_attack"]["rotation"] == 0.0
+    assert t["per_category"]["Valuemetric"] == 0.5
+    assert t["per_category"]["Geometric"] == 0.0
+    md = markdown_table(t)
+    assert "Valuemetric" in md and "0.50" in md
+
+
+def test_full_grid():
+    grid = full_attack_grid(make_records())
+    assert grid["gaussian-blur"]["9"]["n"] == 10
+    assert grid["roundtrips"]["0"]["tpr"] == 1.0
+
+
+def test_load_records_from_tree(tmp_path):
+    d = tmp_path / "c=3,idx=1"
+    os.makedirs(d)
+    (d / "0001_linear-rand-h=1-d=8.0-g=0.25_jpeg_25.json").write_text(
+        json.dumps({"pvalue": 0.001, "l0": 0.1, "psnr": 33.0})
+    )
+    recs = load_records(str(tmp_path))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.conditioning == "3" and r.idx == 1
+    assert r.method == "linear-rand-h=1-d=8.0-g=0.25"
+    assert r.transform == "jpeg" and r.param == "25"
+    assert r.metrics["pvalue"] == 0.001

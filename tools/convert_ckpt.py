@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Convert reference PyTorch checkpoints to wmar_tpu msgpack param trees.
+
+  python tools/convert_ckpt.py taming --ckpt net2net.ckpt --outdir ckpts/taming
+  python tools/convert_ckpt.py rar --ckpt rar_xl.bin --size rar_xl \\
+      --vq maskgit-vqgan-imagenet-f16-256.bin --outdir ckpts/rar
+  python tools/convert_ckpt.py chameleon_vqgan --ckpt vqgan_patched.ckpt \\
+      --outdir ckpts/chameleon
+
+Host-side only (needs torch-cpu to read the source files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("kind", choices=["taming", "rar", "chameleon_vqgan", "maskgit_vqgan"])
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--vq", default=None, help="tokenizer ckpt (rar mode)")
+    p.add_argument("--size", default="rar_xl")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--gpt_layers", type=int, default=48)
+    p.add_argument("--gpt_heads", type=int, default=24)
+    p.add_argument("--gpt_embd", type=int, default=1664)
+    p.add_argument("--gpt_block", type=int, default=512)
+    args = p.parse_args(argv)
+
+    from wmar_tpu.models import (
+        CHAMELEON_F16,
+        GPTConfig,
+        MASKGIT_IMAGENET_F16,
+        TAMING_IMAGENET_F16,
+        rar_config,
+    )
+    from wmar_tpu.utils import checkpoint as ckpt_io
+    from wmar_tpu.utils import convert
+
+    os.makedirs(args.outdir, exist_ok=True)
+    sd = convert.load_torch_state_dict(args.ckpt)
+
+    if args.kind == "taming":
+        vocab = sd["transformer.tok_emb.weight"].shape[0]
+        gpt_cfg = GPTConfig(
+            vocab_size=vocab, block_size=args.gpt_block, n_layer=args.gpt_layers,
+            n_head=args.gpt_heads, n_embd=args.gpt_embd,
+        )
+        gpt = convert.convert_taming_gpt(sd, gpt_cfg)
+        vq = convert.convert_taming_vqgan(sd, TAMING_IMAGENET_F16, prefix="first_stage_model.")
+        ckpt_io.save_pytree(os.path.join(args.outdir, "gpt.msgpack"), gpt)
+        ckpt_io.save_pytree(os.path.join(args.outdir, "vqgan.msgpack"), vq)
+        with open(os.path.join(args.outdir, "config.json"), "w") as f:
+            json.dump({"gpt": gpt_cfg.__dict__}, f)
+    elif args.kind == "rar":
+        cfg = rar_config(args.size)
+        rar = convert.convert_rar(sd, cfg)
+        ckpt_io.save_pytree(os.path.join(args.outdir, f"{args.size}.msgpack"), rar)
+        if args.vq:
+            vq_sd = convert.load_torch_state_dict(args.vq)
+            vq = convert.convert_maskgit_vqgan(vq_sd, MASKGIT_IMAGENET_F16)
+            ckpt_io.save_pytree(os.path.join(args.outdir, "maskgit_vqgan.msgpack"), vq)
+    elif args.kind == "maskgit_vqgan":
+        vq = convert.convert_maskgit_vqgan(sd, MASKGIT_IMAGENET_F16)
+        ckpt_io.save_pytree(os.path.join(args.outdir, "maskgit_vqgan.msgpack"), vq)
+    elif args.kind == "chameleon_vqgan":
+        vq = convert.convert_taming_vqgan(sd, CHAMELEON_F16)
+        ckpt_io.save_pytree(os.path.join(args.outdir, "vqgan.msgpack"), vq)
+    print(f"wrote {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()
