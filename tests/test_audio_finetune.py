@@ -1,0 +1,90 @@
+"""Mimi RCC finetune + audio augmentations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from wmar_tpu.audio import Mimi, MimiConfig
+from wmar_tpu.audio import augmentations as A
+from wmar_tpu.audio.finetune import (
+    MimiFTConfig,
+    MimiFTWrapper,
+    init_state,
+    make_train_step,
+    multi_res_stft_loss,
+    validation_token_match,
+)
+
+TINY = MimiConfig(
+    dimension=32, n_filters=8, ratios=(4, 2), n_residual_layers=1,
+    n_q=2, n_q_semantic=1, cardinality=16, codebook_dim=8,
+    transformer_layers=1, transformer_heads=2, downsample=1,
+)
+
+
+@pytest.fixture(scope="module")
+def wrapper():
+    model = Mimi(TINY)
+    audio = jnp.zeros((1, TINY.hop_length * 8, 1))
+    variables = model.init(jax.random.PRNGKey(0), audio)
+    return MimiFTWrapper(model, variables)
+
+
+def test_audio_augs_shapes(rng):
+    audio = jnp.asarray(rng.uniform(-1, 1, size=(2, 256, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    for name, fn, params in A.get_validation_augs():
+        out = fn(audio, params[0], key)
+        assert out.shape == audio.shape, name
+        assert np.isfinite(np.asarray(out)).all(), name
+
+
+def test_speed_changes_content(rng):
+    audio = jnp.asarray(np.sin(np.linspace(0, 60, 256)).astype(np.float32))[None, :, None]
+    fast = A.speed(audio, 1.25)
+    assert fast.shape == audio.shape
+    assert not np.allclose(np.asarray(fast), np.asarray(audio))
+
+
+def test_lowpass_removes_high_freq():
+    t = np.arange(512) / 512
+    lo = np.sin(2 * np.pi * 4 * t)
+    hi = np.sin(2 * np.pi * 200 * t)
+    x = jnp.asarray((lo + hi).astype(np.float32))[None, :, None]
+    y = np.asarray(A.lowpass(x, 0.1))[0, :, 0]
+    # high component mostly gone, low kept
+    corr_lo = np.corrcoef(y[64:-64], lo[64:-64])[0, 1]
+    assert corr_lo > 0.9
+    assert np.abs(y).max() < 1.3
+
+
+def test_mrstft_zero_for_identical(rng):
+    a = jnp.asarray(rng.uniform(-1, 1, size=(1, 512, 1)).astype(np.float32))
+    assert float(multi_res_stft_loss(a, a)) < 1e-6
+    b = jnp.asarray(rng.uniform(-1, 1, size=(1, 512, 1)).astype(np.float32))
+    assert float(multi_res_stft_loss(a, b)) > 0.1
+
+
+def test_mimi_finetune_step_improves_idem(wrapper):
+    cfg = MimiFTConfig(lr=3e-4, aug_prob=0.0)
+    opt = optax.adam(cfg.lr)
+    step = jax.jit(make_train_step(wrapper, cfg, opt))
+    state = init_state(wrapper, opt)
+    codes = jnp.asarray(np.random.default_rng(0).integers(0, 16, size=(2, 2, 8)))
+    first = None
+    for i in range(6):
+        state, metrics = step(state, codes, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(metrics["idem"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["idem"]) < first
+
+
+def test_validation_token_match(wrapper):
+    trainable = wrapper.init_trainable()
+    codes = jnp.asarray(np.random.default_rng(1).integers(0, 16, size=(1, 2, 8)))
+    tm = np.asarray(validation_token_match(wrapper, trainable, codes))
+    assert tm.shape == (1, 2)
+    assert ((tm >= 0) & (tm <= 1)).all()

@@ -1,0 +1,184 @@
+"""Mimi RCC finetuning: make audio tokens survive decode->attack->encode.
+
+Counterpart of ``wmar_audio/training/finetune_mimi.py`` +
+``mimi_ft_wrapper.py``: a frozen replica provides the drift targets, the
+trainable encoder/decoder are updated so that re-encoding the (augmented)
+decoded audio reproduces the original latents:
+
+  z_q   = rvq.decode(codes)                     (frozen)
+  audio = decoder_trainable(z_q)
+  drift = L1 + multi-res STFT vs decoder_frozen(z_q)
+  a_aug = random_augmentation(audio)
+  z_rec = encoder_trainable(a_aug)
+  idem  = mse(z_rec, z_q) (pre-quant) + mse(post-quant embeddings)
+
+Deltas export in the same additive format as the image finetune
+(``training/apply_deltas.py`` counterpart = wmar_tpu.utils.checkpoint).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from wmar_tpu.audio import augmentations as A
+from wmar_tpu.audio.mimi import Mimi, MimiConfig
+
+
+def multi_res_stft_loss(a: jnp.ndarray, b: jnp.ndarray, fft_sizes=(256, 512, 1024)) -> jnp.ndarray:
+    """Spectral convergence + log-magnitude L1 over several resolutions
+    (the reference's mrstft loss, ``training/losses``)."""
+    total = 0.0
+    x = a[..., 0]
+    y = b[..., 0]
+    for n_fft in fft_sizes:
+        hop = n_fft // 4
+        if x.shape[-1] < n_fft:
+            continue
+        fx = _stft_mag(x, n_fft, hop)
+        fy = _stft_mag(y, n_fft, hop)
+        sc = jnp.linalg.norm(fy - fx) / (jnp.linalg.norm(fy) + 1e-7)
+        lm = jnp.abs(jnp.log(fx + 1e-5) - jnp.log(fy + 1e-5)).mean()
+        total = total + sc + lm
+    return total / len(fft_sizes)
+
+
+def _stft_mag(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    t = x.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = x[:, idx] * jnp.hanning(n_fft)
+    return jnp.abs(jnp.fft.rfft(frames, axis=-1))
+
+
+TRAIN_AUGS = [
+    ("identity", lambda x, r: x),
+    ("noise", lambda x, r: A.gaussian_noise(x, 0.01, r)),
+    ("pink", lambda x, r: A.pink_noise(x, 0.02, r)),
+    ("lowpass", lambda x, r: A.lowpass(x, 0.5)),
+    ("smooth", lambda x, r: A.smooth(x, 5)),
+    ("echo", lambda x, r: A.echo(x, 0.05, 0.3)),
+    ("amplitude", lambda x, r: A.amplitude_scale(x, 0.7)),
+]
+
+
+@flax.struct.dataclass
+class MimiFTState:
+    step: jnp.ndarray
+    trainable: dict
+    opt_state: optax.OptState
+
+
+@dataclasses.dataclass(frozen=True)
+class MimiFTConfig:
+    lr: float = 1e-5
+    code_loss_weight: float = 2.0
+    aug_prob: float = 0.5
+
+
+class MimiFTWrapper:
+    """Frozen-replica targets + trainable encoder/decoder
+    (``training/mimi_ft_wrapper.py:11-80``)."""
+
+    def __init__(self, model: Mimi, frozen_variables):
+        self.model = model
+        self.frozen = frozen_variables["params"]
+
+    def init_trainable(self):
+        return {
+            "encoder": jax.tree.map(jnp.asarray, self.frozen["encoder"]),
+            "enc_transformer": jax.tree.map(jnp.asarray, self.frozen["enc_transformer"]),
+            "decoder": jax.tree.map(jnp.asarray, self.frozen["decoder"]),
+            "dec_transformer": jax.tree.map(jnp.asarray, self.frozen["dec_transformer"]),
+        }
+
+    def _vars(self, **overrides):
+        p = dict(self.frozen)
+        p.update(overrides)
+        return {"params": p}
+
+    def codes_to_latent(self, codes):
+        """Frozen RVQ decode: codes [B, K, T] -> latent [B, T, D]."""
+        nq_sem = self.model.cfg.n_q_semantic
+
+        def f(m, c):
+            z = m.rvq_first.decode(c[:, :nq_sem])
+            return z + m.rvq_rest.decode(c[:, nq_sem:])
+
+        return self.model.apply(self._vars(), codes, method=f)
+
+    def decode(self, trainable, z):
+        return self.model.apply(
+            self._vars(decoder=trainable["decoder"], dec_transformer=trainable["dec_transformer"]),
+            z,
+            method=Mimi._from_latent,
+        )
+
+    def decode_frozen(self, z):
+        return self.model.apply(self._vars(), z, method=Mimi._from_latent)
+
+    def encode_latent(self, trainable, audio):
+        return self.model.apply(
+            self._vars(encoder=trainable["encoder"], enc_transformer=trainable["enc_transformer"]),
+            audio,
+            method=Mimi._to_latent,
+        )
+
+    def encode_codes(self, trainable, audio):
+        z = self.encode_latent(trainable, audio)
+
+        def f(m, zz):
+            c1 = m.rvq_first.encode(zz)
+            return jnp.concatenate([c1, m.rvq_rest.encode(zz)], axis=1)
+
+        return self.model.apply(self._vars(), z, method=f)
+
+
+def make_train_step(wrapper: MimiFTWrapper, cfg: MimiFTConfig, optimizer):
+    n_augs = len(TRAIN_AUGS)
+
+    def loss_fn(trainable, codes, rng):
+        z_q = wrapper.codes_to_latent(codes)
+        audio = wrapper.decode(trainable, z_q)
+        audio_orig = jax.lax.stop_gradient(wrapper.decode_frozen(z_q))
+        drift = jnp.abs(audio - audio_orig).mean() + multi_res_stft_loss(audio, audio_orig)
+
+        k_gate, k_pick, k_aug = jax.random.split(rng, 3)
+        idx = jax.random.randint(k_pick, (), 0, n_augs)
+        a_aug = jax.lax.switch(idx, [lambda x, r, f=f: f(x, r) for _, f in TRAIN_AUGS], audio, k_aug)
+        a_aug = jnp.where(jax.random.uniform(k_gate) < cfg.aug_prob, a_aug, audio)
+
+        z_rec = wrapper.encode_latent(trainable, a_aug)
+        idem = ((z_rec - jax.lax.stop_gradient(z_q)) ** 2).mean()
+        loss = drift + cfg.code_loss_weight * idem
+        return loss, {"loss": loss, "drift": drift, "idem": idem}
+
+    def train_step(state: MimiFTState, codes, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.trainable, codes, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        return MimiFTState(state.step + 1, trainable, opt_state), metrics
+
+    return train_step
+
+
+def init_state(wrapper: MimiFTWrapper, optimizer) -> MimiFTState:
+    trainable = wrapper.init_trainable()
+    return MimiFTState(jnp.zeros((), jnp.int32), trainable, optimizer.init(trainable))
+
+
+def validation_token_match(wrapper: MimiFTWrapper, trainable, codes, aug_fn=None, rng=None):
+    """decode -> (aug) -> encode -> per-stream token match (the reference's
+    ``evals/token_match.py`` metric)."""
+    z_q = wrapper.codes_to_latent(codes)
+    audio = wrapper.decode(trainable, z_q)
+    if aug_fn is not None:
+        audio = aug_fn(audio, rng)
+    new_codes = wrapper.encode_codes(trainable, audio)
+    return (new_codes == codes).mean(axis=-1)  # [B, K]
