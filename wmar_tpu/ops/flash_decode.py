@@ -1,0 +1,86 @@
+"""Pallas flash-decode attention for the autoregressive hot loop.
+
+One-token queries against a padded KV cache — the innermost op of every
+decode step. The XLA path (``engine/attention.py``) materializes the
+``[B, H, 1, T]`` score tensor in HBM between ops; this kernel keeps scores,
+softmax, and the value reduction in VMEM, one (batch, head) tile per grid
+program: a single HBM read of K/V and a single write of the output.
+
+Equivalent of the reference's xformers ``fmha`` decode path
+(``deps/chameleon/inference/transformer.py:151-155``) and the CUDA-graphed
+step the other backbones rely on.
+
+Sizes here are small (T <= ~4.2k, D 48-128), so blocks are whole rows; the
+kernel pads D to the 128-lane boundary via BlockSpec implicitly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _decode_attn_kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref):
+    """Grid: (B, H). Blocks: q [1,1,1,D], k/v [1,1,T,D], out [1,1,1,D]."""
+    b = pl.program_id(0)
+    q = q_ref[0, 0].astype(jnp.float32)  # [1, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [T, D]
+    v = v_ref[0, 0].astype(jnp.float32)
+    d = q.shape[-1]
+    scale = d**-0.5
+
+    s = jnp.dot(k, q.T, preferred_element_type=jnp.float32)[:, 0] * scale  # [T]
+    t = s.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
+    valid = (pos < len_ref[0]) & (pos >= start_ref[b])
+    s = jnp.where(valid, s, -1e30)
+    m = jnp.max(s)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p)
+    o = jnp.dot(p[None, :], v, preferred_element_type=jnp.float32) / denom  # [1, D]
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def flash_decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    valid_len,
+    start=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused decode attention. ``q [B, H, 1, D]``, caches ``[B, H, T, D]``.
+
+    ``valid_len``: scalar count of valid cache slots; ``start``: optional
+    per-row first valid index (left padding). Returns ``[B, H, 1, D]``.
+    """
+    b, h, _, d = q.shape
+    t = k_cache.shape[2]
+    lens = jnp.full((1,), valid_len, jnp.int32)
+    starts = (
+        jnp.zeros((b,), jnp.int32) if start is None else jnp.asarray(start, jnp.int32)
+    )
+
+    grid = (b, h)
+    out = pl.pallas_call(
+        _decode_attn_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # lens, starts
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
+        ),
+        interpret=interpret,
+    )(lens, starts, q, k_cache, v_cache)
+    return out
