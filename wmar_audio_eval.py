@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Audio watermark evaluation: generate -> decode -> attack -> re-encode -> detect.
+
+Counterpart of the reference's ``wmar_audio/evals/main_wm.py``: stream
+tokens from the Moshi-style LM with the Maryland/Gumbel watermark fused into
+sampling, decode to waveform with Mimi, sweep the audio attack bank,
+re-tokenize, and score greenlist hits per stream with binomial p-values.
+
+``--tiny`` runs randomly-initialized models end-to-end (smoke/CI path);
+real weights load from converted checkpoints via --moshi_weight/--mimi_weight.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--moshi_weight", type=str, default=None)
+    p.add_argument("--mimi_weight", type=str, default=None)
+    p.add_argument("--steps", type=int, default=64, help="frames to generate (12.5 fps)")
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--wm_method", type=str, default="maryland", choices=["maryland", "gumbel", "none"])
+    p.add_argument("--wm_streams", type=str, default="0,1,2,3,4,5,6,7,8")
+    p.add_argument("--wm_ngram", type=int, default=0)
+    p.add_argument("--wm_delta", type=float, default=4.0)
+    p.add_argument("--wm_gamma", type=float, default=0.25)
+    p.add_argument("--wm_seed", type=int, default=0)
+    p.add_argument("--temperature", type=float, default=0.8)
+    p.add_argument("--top_k", type=int, default=250)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_augs", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from wmar_tpu.audio import (
+        Mimi,
+        MimiConfig,
+        MoshiConfig,
+        MoshiGen,
+        WMConfig,
+        init_moshi_params,
+        pvalue_maryland,
+        score_stream_maryland,
+        window_hash,
+    )
+    from wmar_tpu.audio.augmentations import get_validation_augs
+
+    if args.tiny:
+        moshi_cfg = MoshiConfig(
+            n_audio_streams=4, audio_vocab=64, text_vocab=64,
+            dim=64, n_layers=2, n_heads=2, dep_dim=32, dep_layers=1, dep_heads=2,
+            delays=(0, 1, 1, 1),
+        )
+        mimi_cfg = MimiConfig(
+            dimension=64, n_filters=8, ratios=(4, 2), n_residual_layers=1,
+            n_q=4, n_q_semantic=1, cardinality=64, codebook_dim=16,
+            transformer_layers=1, transformer_heads=2, downsample=2,
+        )
+        moshi_params = init_moshi_params(jax.random.PRNGKey(0), moshi_cfg)
+        mimi = Mimi(mimi_cfg)
+        mimi_params = mimi.init(jax.random.PRNGKey(1), jnp.zeros((1, mimi_cfg.hop_length * 4, 1)))
+    else:
+        raise NotImplementedError(
+            "full-size Moshi/Mimi weights require conversion (tools/convert_ckpt.py); "
+            "run with --tiny for the smoke pipeline"
+        )
+
+    streams = tuple(int(s) for s in args.wm_streams.split(","))
+    wm = None
+    if args.wm_method != "none":
+        wm = WMConfig(
+            method=args.wm_method, streams=streams, ngram=args.wm_ngram,
+            delta=args.wm_delta, gamma=args.wm_gamma, seed=args.wm_seed,
+            temp=args.temperature, top_k=args.top_k,
+        )
+    gen = MoshiGen(moshi_params, moshi_cfg, wm)
+    text, audio_codes = gen.generate(args.steps, jax.random.PRNGKey(args.seed), batch=args.batch_size)
+
+    # Decode to waveform, attack, re-encode, score.
+    pcm = mimi.apply(mimi_params, audio_codes, method=Mimi.decode)
+    augs = [("identity", lambda x, p, r: x, [0])] if args.no_augs else get_validation_augs()
+
+    fixed_hashes = window_hash(jnp.zeros((args.steps, 0), jnp.int32), args.wm_seed)
+    records = []
+    for name, fn, params in augs:
+        for param in params:
+            attacked = fn(pcm, param, jax.random.fold_in(jax.random.PRNGKey(args.seed), hash(name) % 2**31))
+            re_codes = mimi.apply(mimi_params, attacked, method=Mimi.encode)
+            for b in range(args.batch_size):
+                for s in range(min(moshi_cfg.n_audio_streams, re_codes.shape[1])):
+                    if args.wm_method == "maryland" and (s + 1) in streams:
+                        ng, ns = score_stream_maryland(
+                            re_codes[b, s], fixed_hashes[: re_codes.shape[2]], args.wm_gamma, salt=0
+                        )
+                        pval = float(pvalue_maryland(ng, ns, args.wm_gamma))
+                    else:
+                        pval = None
+                    tm = float((re_codes[b, s] == audio_codes[b, s][: re_codes.shape[2]]).mean())
+                    records.append({
+                        "aug": name, "param": param, "batch": b, "stream": s,
+                        "pvalue": pval, "token_match": tm,
+                    })
+        print(f"aug {name} done")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "results.json"), "w") as f:
+        json.dump(records, f, indent=1)
+    print(f"wrote {len(records)} records")
+    return records
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

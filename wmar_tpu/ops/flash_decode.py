@@ -27,7 +27,11 @@ NEG_INF = jnp.float32(-1e30)
 
 
 def _decode_attn_kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref):
-    """Grid: (B, H). Blocks: q [1,1,1,D], k/v [1,1,T,D], out [1,1,1,D]."""
+    """Grid: (B, H). Blocks: q [1,1,1,D], k/v [1,1,T,D], out [1,1,1,D].
+
+    All intermediates stay rank-2 — rank-1 tensors hit Mosaic lowering bugs
+    on some toolchains (empirically: 1-D reductions fail to compile).
+    """
     b = pl.program_id(0)
     q = q_ref[0, 0].astype(jnp.float32)  # [1, D]
     k = k_ref[0, 0].astype(jnp.float32)  # [T, D]
@@ -35,15 +39,15 @@ def _decode_attn_kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref):
     d = q.shape[-1]
     scale = d**-0.5
 
-    s = jnp.dot(k, q.T, preferred_element_type=jnp.float32)[:, 0] * scale  # [T]
+    s = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * scale  # [T, 1]
     t = s.shape[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)  # [T, 1]
     valid = (pos < len_ref[0]) & (pos >= start_ref[b])
     s = jnp.where(valid, s, -1e30)
-    m = jnp.max(s)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p)
-    o = jnp.dot(p[None, :], v, preferred_element_type=jnp.float32) / denom  # [1, D]
+    m = jnp.max(s, axis=0, keepdims=True)  # [1, 1]
+    p = jnp.exp(s - m)  # [T, 1]
+    denom = jnp.sum(p, axis=0, keepdims=True)  # [1, 1]
+    o = jnp.dot(p.T, v, preferred_element_type=jnp.float32) / denom  # [1, D]
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
