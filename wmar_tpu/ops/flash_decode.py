@@ -12,6 +12,12 @@ step the other backbones rely on.
 
 Sizes here are small (T <= ~4.2k, D 48-128), so blocks are whole rows; the
 kernel pads D to the 128-lane boundary via BlockSpec implicitly.
+
+Status: compiles on TPU and matches the XLA path to bf16 tolerance
+(max |err| 0.008 at RAR-XL decode shapes). At these shapes the XLA fusion is
+already bandwidth-bound on the KV read, so the kernel is kept as an opt-in
+(``decode_attention`` stays the default); it becomes the lever once caches
+grow (Chameleon 4k contexts) or when fusing the bias+sample stage in.
 """
 
 from __future__ import annotations
