@@ -87,3 +87,33 @@ def test_betas_schedule():
     assert b[0] == pytest.approx(1e-4, rel=1e-6)
     assert b[-1] == pytest.approx(0.02, rel=1e-6)
     assert (np.diff(b) > 0).all()
+
+
+def test_mbt2018_mean_roundtrip(rng):
+    from wmar_tpu.augmentations.neural import MBT2018Mean
+
+    model = MBT2018Mean(BMSHJConfig(n=32, m=48))
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    rec, bpp = model.apply(params, x)
+    assert rec.shape == x.shape and np.isfinite(float(bpp))
+
+
+def test_cheng2020_roundtrip(rng):
+    from wmar_tpu.augmentations.neural import Cheng2020Anchor
+
+    model = Cheng2020Anchor(n=32)
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, 32, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    rec, bpp = model.apply(params, x)
+    assert rec.shape == x.shape and np.isfinite(float(bpp))
+
+
+def test_all_reference_codec_names_construct():
+    names = [
+        "bmshj2018-factorized-q=1", "bmshj2018-hyperprior-q=3",
+        "mbt2018-mean-q=6", "mbt2018-q=1", "cheng2020-anchor-q=3",
+        "cheng2020-attn-q=6", "diffusers-sd-vae-ft-ema",
+    ]
+    for n in names:
+        NeuralCompression.from_name(n, image_size=64)

