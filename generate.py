@@ -149,8 +149,34 @@ def load_wrapper(args):
         gpt_params = load("gpt.msgpack", jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), gpt_like))
         alive = _load_alive_ids(meta.get("alive_ids", "assets/vqgan_alive_ids.txt"))
         wrapper = TamingARMM(gpt_params, gpt_cfg, vq_params, vq_cfg, alive_ids=alive)
-    else:
-        raise NotImplementedError("chameleon7b frontend lands in wmar_tpu.models.chameleon")
+    else:  # chameleon7b
+        from wmar_tpu.models import CHAMELEON_F16, CHAMELEON_7B, ChameleonARMM, ChameleonVocab
+        from wmar_tpu.models.llama import init_llama_params
+
+        vocab = ChameleonVocab.from_tokenizer_json(
+            os.path.join(args.modelpath, "tokenizer", "text_tokenizer.json")
+        )
+        llama_cfg = CHAMELEON_7B
+        vq_cfg = CHAMELEON_F16
+        vq = TamingVQGAN(vq_cfg)
+        vq_like = jax.eval_shape(lambda: vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3))))
+        vq_params = load("vqgan.msgpack", jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), vq_like))
+        llama_like = jax.eval_shape(lambda: init_llama_params(jax.random.PRNGKey(0), llama_cfg))
+        llama_params = load("llama7b.msgpack", jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), llama_like))
+        try:
+            from tokenizers import Tokenizer
+
+            tok = Tokenizer.from_file(
+                os.path.join(args.modelpath, "tokenizer", "text_tokenizer.json")
+            )
+            tokenizer_fn = lambda s: tok.encode(s).ids  # noqa: E731
+        except ImportError:
+            tokenizer_fn = None
+        alive = _load_alive_ids(meta.get("alive_ids", "assets/chameleon_all_ids.txt"))
+        wrapper = ChameleonARMM(
+            llama_params, llama_cfg, vocab, vq_params, vq_cfg,
+            tokenizer=tokenizer_fn, alive_ids=alive,
+        )
 
     # RCC deltas (published artifact format): additive patches on the
     # tokenizer encoder / decoder subtrees.
@@ -178,6 +204,9 @@ def _load_alive_ids(path):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from wmar_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from wmar_tpu.augmentations import AugmentationManager
     from wmar_tpu.core import WatermarkSpec
     from wmar_tpu.eval import EvalParams, generate_and_evaluate

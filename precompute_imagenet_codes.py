@@ -50,6 +50,9 @@ def load_image(path: str, size: int) -> np.ndarray:
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from wmar_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     import generate as gen_cli
     import jax.numpy as jnp
 

@@ -314,3 +314,99 @@ def test_vqgan_codes_parity(torch_vqgan):
         ref = d.argmin(1).reshape(2, -1).numpy()
     ours = np.asarray(model.apply(variables, jnp.asarray(x), method=TamingVQGAN.encode_codes))
     assert (ours == ref).mean() > 0.99  # ties may break differently in fp32
+
+
+# ---------------------------------------------------------------------------
+# Chameleon-style Llama block (fused wqkv/w13, qk-LayerNorm, RoPE)
+# ---------------------------------------------------------------------------
+
+
+def _torch_rope(x, positions, theta=10000.0):
+    # x: [B, T, H, D]; adjacent-pair rotation
+    b, t, h, d = x.shape
+    freqs = 1.0 / (theta ** (torch.arange(0, d, 2, dtype=torch.float64) / d))
+    ang = positions[:, :, None].double() * freqs[None, None]
+    cos, sin = torch.cos(ang)[:, :, None], torch.sin(ang)[:, :, None]
+    xr = x.double().reshape(b, t, h, d // 2, 2)
+    x0, x1 = xr[..., 0], xr[..., 1]
+    out = torch.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], dim=-1)
+    return out.reshape(b, t, h, d).float()
+
+
+def test_chameleon_llama_conversion_parity():
+    from wmar_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
+    from wmar_tpu.engine.kvcache import KVCache
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(dim=32, n_layers=2, n_heads=4, vocab_size=64,
+                      multiple_of=16, qk_normalization=True)
+    d, hd, ffn = cfg.dim, cfg.head_dim, cfg.ffn_hidden
+
+    # Build a reference-shaped state dict with fused weights.
+    sd = {}
+    sd["tok_embeddings.weight"] = np.random.default_rng(0).normal(0, 0.1, (64, d)).astype(np.float32)
+    sd["norm.weight"] = np.random.default_rng(1).uniform(0.5, 1.5, (d,)).astype(np.float32)
+    sd["output.weight"] = np.random.default_rng(2).normal(0, 0.1, (64, d)).astype(np.float32)
+    rng = np.random.default_rng(3)
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}."
+        sd[p + "attention.wqkv.weight"] = rng.normal(0, 0.1, (3 * d, d)).astype(np.float32)
+        sd[p + "attention.wo.weight"] = rng.normal(0, 0.1, (d, d)).astype(np.float32)
+        sd[p + "feed_forward.w13.weight"] = rng.normal(0, 0.1, (2 * ffn, d)).astype(np.float32)
+        sd[p + "feed_forward.w2.weight"] = rng.normal(0, 0.1, (d, ffn)).astype(np.float32)
+        sd[p + "attention_norm.weight"] = rng.uniform(0.5, 1.5, (d,)).astype(np.float32)
+        sd[p + "ffn_norm.weight"] = rng.uniform(0.5, 1.5, (d,)).astype(np.float32)
+        sd[p + "attention.q_normalization.weight"] = rng.uniform(0.5, 1.5, (hd,)).astype(np.float32)
+        sd[p + "attention.q_normalization.bias"] = rng.normal(0, 0.05, (hd,)).astype(np.float32)
+        sd[p + "attention.k_normalization.weight"] = rng.uniform(0.5, 1.5, (hd,)).astype(np.float32)
+        sd[p + "attention.k_normalization.bias"] = rng.normal(0, 0.05, (hd,)).astype(np.float32)
+
+    # Torch oracle forward.
+    def oracle(tokens):
+        x = torch.from_numpy(sd["tok_embeddings.weight"][tokens])[None]  # [1, T, d]
+        pos = torch.arange(x.shape[1])[None]
+        for i in range(cfg.n_layers):
+            p = f"layers.{i}."
+            def rms(v, w):
+                var = (v.double() ** 2).mean(-1, keepdim=True)
+                return (v.double() / torch.sqrt(var + 1e-5)).float() * torch.from_numpy(w)
+            h = rms(x, sd[p + "attention_norm.weight"])
+            wqkv = torch.from_numpy(sd[p + "attention.wqkv.weight"])
+            qkv = h @ wqkv.T
+            q, k, v = qkv[..., :d], qkv[..., d:2*d], qkv[..., 2*d:]
+            def headify(z):
+                return z.reshape(1, -1, cfg.n_heads, hd)
+            q, k, v = headify(q), headify(k), headify(v)
+            def lnh(z, wkey, bkey):
+                w = torch.from_numpy(sd[p + wkey]); b_ = torch.from_numpy(sd[p + bkey])
+                mu = z.mean(-1, keepdim=True); var = ((z - mu) ** 2).mean(-1, keepdim=True)
+                return (z - mu) / torch.sqrt(var + 1e-5) * w + b_
+            q = lnh(q, "attention.q_normalization.weight", "attention.q_normalization.bias")
+            k = lnh(k, "attention.k_normalization.weight", "attention.k_normalization.bias")
+            q = _torch_rope(q, pos); k = _torch_rope(k, pos)
+            q, k, v = (z.transpose(1, 2) for z in (q, k, v))
+            att = (q @ k.transpose(-2, -1)) / hd ** 0.5
+            t = att.shape[-1]
+            mask = torch.tril(torch.ones(t, t, dtype=torch.bool))
+            att = att.masked_fill(~mask, float("-inf")).softmax(-1)
+            o = (att @ v).transpose(1, 2).reshape(1, -1, d)
+            x = x + o @ torch.from_numpy(sd[p + "attention.wo.weight"]).T
+            h2 = rms(x, sd[p + "ffn_norm.weight"])
+            w13 = torch.from_numpy(sd[p + "feed_forward.w13.weight"])
+            w1, w3 = w13[:ffn], w13[ffn:]
+            gate = torch.nn.functional.silu(h2 @ w1.T) * (h2 @ w3.T)
+            x = x + gate @ torch.from_numpy(sd[p + "feed_forward.w2.weight"]).T
+        x = (x.double() / torch.sqrt((x.double() ** 2).mean(-1, keepdim=True) + 1e-5)).float()
+        x = x * torch.from_numpy(sd["norm.weight"])
+        return (x @ torch.from_numpy(sd["output.weight"]).T).numpy()
+
+    from wmar_tpu.utils.convert import convert_chameleon_llama
+
+    params = jax.tree.map(jnp.asarray, convert_chameleon_llama(sd, cfg))
+    tokens = np.array([3, 9, 17, 40], dtype=np.int32)
+    ref = oracle(tokens)
+    cache = KVCache.zeros(cfg.n_layers, 1, cfg.n_heads, 8, cfg.head_dim)
+    ours, _ = llama_forward(
+        params, cfg, jnp.asarray(tokens)[None], cache, 0, jnp.arange(4)[None]
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("kind", choices=["taming", "rar", "chameleon_vqgan", "maskgit_vqgan"])
+    p.add_argument("kind", choices=["taming", "rar", "chameleon_vqgan", "maskgit_vqgan", "chameleon_llama"])
     p.add_argument("--ckpt", required=True)
     p.add_argument("--vq", default=None, help="tokenizer ckpt (rar mode)")
     p.add_argument("--size", default="rar_xl")
@@ -72,6 +72,16 @@ def main(argv=None):
     elif args.kind == "chameleon_vqgan":
         vq = convert.convert_taming_vqgan(sd, CHAMELEON_F16)
         ckpt_io.save_pytree(os.path.join(args.outdir, "vqgan.msgpack"), vq)
+    elif args.kind == "chameleon_llama":
+        import glob as _glob
+
+        from wmar_tpu.models import CHAMELEON_7B
+
+        shard_paths = sorted(_glob.glob(args.ckpt)) if "*" in args.ckpt else [args.ckpt]
+        shards = [convert.load_torch_state_dict(pth) for pth in shard_paths]
+        merged = convert.merge_chameleon_shards(shards)
+        params = convert.convert_chameleon_llama(merged, CHAMELEON_7B)
+        ckpt_io.save_pytree(os.path.join(args.outdir, "llama7b.msgpack"), params)
     print(f"wrote {args.outdir}")
 
 

@@ -43,6 +43,9 @@ def get_parser():
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from wmar_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

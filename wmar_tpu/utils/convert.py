@@ -281,3 +281,80 @@ def convert_rar(sd: StateDict, cfg: RARConfig, prefix: str = "") -> dict:
         "final_adaln": _lin(sd, p + "adaln_before_head.adaLN_modulation.1"),
         "lm_head": _lin(sd, p + "lm_head"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Chameleon / Llama
+# ---------------------------------------------------------------------------
+
+
+def merge_chameleon_shards(shards):
+    """Merge tensor-parallel ``consolidated.{rank:02}.pth`` shards
+    (``deps/chameleon/inference/loader.py:37-71``): column-parallel weights
+    (wqkv, w13, output, tok_embeddings) concat on dim 0; row-parallel
+    (wo, w2) concat on dim 1; norms are replicated."""
+    if len(shards) == 1:
+        return dict(shards[0])
+    out = {}
+    for key in shards[0]:
+        parts = [s[key] for s in shards]
+        if any(t in key for t in ("wqkv", "w13", "output.weight", "tok_embeddings")):
+            out[key] = np.concatenate(parts, axis=0)
+        elif any(t in key for t in (".wo.", ".w2.")):
+            out[key] = np.concatenate(parts, axis=1)
+        else:
+            out[key] = parts[0]
+    return out
+
+
+def convert_chameleon_llama(sd: StateDict, cfg) -> dict:
+    """Chameleon transformer state dict -> ``wmar_tpu.models.llama`` params.
+
+    Handles both fused (wqkv / w13) and unfused (wq/wk/wv + w1/w3) layouts —
+    the reference fuses at load time (``transformer.py:81-95``)."""
+    d = cfg.dim
+    kvd = cfg.kv_heads * cfg.head_dim
+
+    def mat(name):
+        return np.ascontiguousarray(sd[name].T)
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}."
+        if p + "attention.wqkv.weight" in sd:
+            wqkv = sd[p + "attention.wqkv.weight"]  # [d + 2*kvd, d]
+            wq, wk, wv = wqkv[:d], wqkv[d : d + kvd], wqkv[d + kvd :]
+        else:
+            wq, wk, wv = (sd[p + f"attention.w{x}.weight"] for x in "qkv")
+        if p + "feed_forward.w13.weight" in sd:
+            w13 = sd[p + "feed_forward.w13.weight"]
+            w1, w3 = np.split(w13, 2, axis=0)
+        else:
+            w1, w3 = sd[p + "feed_forward.w1.weight"], sd[p + "feed_forward.w3.weight"]
+        blk = {
+            "attention_norm": sd[p + "attention_norm.weight"],
+            "ffn_norm": sd[p + "ffn_norm.weight"],
+            "wq": np.ascontiguousarray(wq.T),
+            "wk": np.ascontiguousarray(wk.T),
+            "wv": np.ascontiguousarray(wv.T),
+            "wo": mat(p + "attention.wo.weight"),
+            "w1": np.ascontiguousarray(w1.T),
+            "w3": np.ascontiguousarray(w3.T),
+            "w2": mat(p + "feed_forward.w2.weight"),
+        }
+        if cfg.qk_normalization:
+            blk["q_norm"] = {
+                "scale": sd[p + "attention.q_normalization.weight"],
+                "bias": sd[p + "attention.q_normalization.bias"],
+            }
+            blk["k_norm"] = {
+                "scale": sd[p + "attention.k_normalization.weight"],
+                "bias": sd[p + "attention.k_normalization.bias"],
+            }
+        blocks.append(blk)
+    return {
+        "tok_embeddings": sd["tok_embeddings.weight"],
+        "blocks": blocks,
+        "norm": sd["norm.weight"],
+        "output": np.ascontiguousarray(sd["output.weight"].T),
+    }
