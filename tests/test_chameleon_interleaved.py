@@ -87,3 +87,32 @@ def test_sample_interleaved_structure(wrapper):
             # image segments are exactly 16 image BPE tokens
             assert toks.shape[1] == 16
             assert np.asarray(VOCAB.image_token_mask)[toks].all()
+
+
+def test_text_watermark_hook(wrapper):
+    from wmar_tpu.core import HashGreenlist, WatermarkSpec
+    from wmar_tpu.core.spec import SeedStrategy, SplitStrategy
+    from wmar_tpu.models.chameleon_interleaved import make_text_watermark
+
+    spec = WatermarkSpec(
+        vocab_size=VOCAB.vocab_size, seed_strategy=SeedStrategy.LINEAR,
+        split_strategy=SplitStrategy.RANDOM, context_size=1, delta=20.0, gamma=0.5,
+    )
+    gl = HashGreenlist(spec)
+    hook = make_text_watermark(spec, gl)
+    opts = TextGenOptions(max_gen_len=16, temp=1.0, top_p=1.0)
+    sampler = ChameleonTextSampler(
+        wrapper.llama_params, LCFG, VOCAB, opts,
+        allow_image_start=False, text_watermark=hook,
+    )
+    prompts = jnp.asarray([[VOCAB.bos_id, 7, 8]], dtype=jnp.int32)
+    toks, _ = sampler.generate(prompts, jnp.zeros((1,), jnp.int32), jax.random.PRNGKey(0))
+    toks_np = np.asarray(toks)[0]
+    valid = [int(t) for t in toks_np if t not in (VOCAB.pad_id, VOCAB.eos_id)]
+    if len(valid) > 4:
+        # with delta=20 most consecutive pairs should be green
+        import jax.numpy as jnp2
+
+        keys = jnp2.asarray(valid[:-1], jnp2.int32)
+        greens = np.asarray(gl.green_lookup(keys, jnp2.asarray(valid[1:], jnp2.int32)))
+        assert greens.mean() > 0.7, greens

@@ -38,6 +38,19 @@ class TextGenOptions:
     greedy: bool = False
 
 
+def make_text_watermark(spec, greenlist):
+    """Text-stream watermark hook (the reference's
+    ``watermark_logit_processor_text``, ``chameleon.py:398-404``): biases
+    green tokens using the last ``h`` emitted tokens as context."""
+    from wmar_tpu.core.sampling import apply_watermark_bias, context_keys_at_step
+
+    def hook(logits, buffer, length):
+        keys, valid = context_keys_at_step(spec, buffer, length, length)
+        return apply_watermark_bias(spec, greenlist, logits, keys, valid)
+
+    return hook
+
+
 def repetition_penalty_mask(logits: jnp.ndarray, counts: jnp.ndarray, penalty: float) -> jnp.ndarray:
     """HF-style repetition penalty: divide positive logits of seen tokens by
     ``penalty``, multiply negative ones."""
@@ -86,13 +99,18 @@ class ChameleonTextSampler:
         logits0 = logits[:, -1]
 
         counts0 = jax.nn.one_hot(prompts, vocab.vocab_size, dtype=jnp.int32).sum(axis=1)
+        # Watermark context buffer = prompt (incl. pads, like the reference's
+        # past_ids) followed by emitted tokens.
+        buffer0 = jnp.concatenate(
+            [prompts.astype(jnp.int32), jnp.zeros((b, opts.max_gen_len), jnp.int32)], axis=1
+        )
         # <boi> forbidden once fewer than 1026 slots remain (chameleon.py:270-276)
         boi_budget_ok = l + opts.max_gen_len + 1026 <= self.max_seq_len
 
-        def process(logits, counts, step):
+        def process(logits, counts, buffer, length):
             logits = logits.astype(jnp.float32)
             if self.text_watermark is not None:
-                logits = self.text_watermark(logits, counts)
+                logits = self.text_watermark(logits, buffer, length)
             logits = jnp.where(self.allowed, logits, -1e10)
             if not boi_budget_ok:
                 logits = logits.at[:, vocab.boi_id].set(-1e10)
@@ -103,27 +121,33 @@ class ChameleonTextSampler:
                 step_rng, logits, temperature=opts.temp, top_p=opts.top_p, greedy=opts.greedy
             )
 
-        tok0 = sample(process(logits0, counts0, 0), jax.random.fold_in(rng, 0))
+        tok0 = sample(process(logits0, counts0, buffer0, jnp.int32(l)), jax.random.fold_in(rng, 0))
         done0 = (tok0 == vocab.eos_id) | (tok0 == vocab.boi_id)
         counts0 = counts0 + jax.nn.one_hot(tok0, vocab.vocab_size, dtype=jnp.int32)
+        buffer0 = buffer0.at[:, l].set(tok0)
 
         def body(carry, step):
-            cache, prev, counts, done = carry
+            cache, prev, counts, buffer, done = carry
             pos = l + step - 1
             positions = (pos - start)[:, None]
             logits, cache = llama_forward(
                 self.params, cfg, prev[:, None], cache, pos, positions, start=start
             )
-            tok = sample(process(logits[:, -1], counts, step), jax.random.fold_in(rng, step))
+            tok = sample(
+                process(logits[:, -1], counts, buffer, jnp.int32(l) + step),
+                jax.random.fold_in(rng, step),
+            )
             tok = jnp.where(done, vocab.pad_id, tok)
             counts = counts + jax.nn.one_hot(tok, vocab.vocab_size, dtype=jnp.int32) * (~done)[:, None]
+            buffer = jax.lax.dynamic_update_slice(buffer, tok[:, None], (jnp.int32(0), jnp.int32(l) + step))
             done = done | (tok == vocab.eos_id) | (tok == vocab.boi_id)
-            return (cache, tok, counts, done), tok
+            return (cache, tok, counts, buffer, done), tok
 
         if opts.max_gen_len == 1:
             return tok0[:, None], jnp.ones((b,), jnp.int32)
-        (_, _, _, done), rest = jax.lax.scan(
-            body, (cache, tok0, counts0, done0), jnp.arange(1, opts.max_gen_len, dtype=jnp.int32)
+        (_, _, _, _, done), rest = jax.lax.scan(
+            body, (cache, tok0, counts0, buffer0, done0),
+            jnp.arange(1, opts.max_gen_len, dtype=jnp.int32),
         )
         tokens = jnp.concatenate([tok0[None], rest], axis=0).T  # [B, T]
         n_valid = (tokens != vocab.pad_id).sum(axis=1)
