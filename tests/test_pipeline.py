@@ -99,3 +99,28 @@ def test_chunking_covers_all_batches(tmp_path):
     keys1 = {(r["conditioning"], r["idx"]) for r in r1}
     assert keys0 | keys1 == {(1, 1), (2, 1), (3, 1), (4, 1)}
     assert not (keys0 & keys1)
+
+
+def test_generate_cli_torch_compat_tables(tmp_path):
+    """The torch-parity greenlist table path works end-to-end."""
+    import generate
+
+    records = generate.main([
+        "--outdir", str(tmp_path),
+        "--model", "taming",
+        "--tiny",
+        "--conditioning", "3",
+        "--num_samples_per_conditioning", "2",
+        "--batch_size", "2",
+        "--wm_method", "gentime",
+        "--wm_seed_strategy", "linear",
+        "--wm_split_strategy", "rand",
+        "--wm_context_size", "1",
+        "--wm_delta", "8.0",
+        "--wm_gamma", "0.25",
+        "--wm_torch_compat", "true",
+        "--max_roundtrips", "0",
+        "--no_augs",
+    ])
+    orig = [r for r in records if r["transform"] == "roundtrips" and r["param"] == 0]
+    assert all(r["pvalue"] < 1e-2 for r in orig), orig
