@@ -120,3 +120,33 @@ def test_greedy_decode_reproducible_across_jit(gpt):
         lambda c, lg: decode_tokens(step_fn, c, lg, 12, jax.random.PRNGKey(0), sampler)
     )(cache, init_logits)
     np.testing.assert_array_equal(np.asarray(toks_eager), np.asarray(toks_jit))
+
+
+def test_phased_decode_matches_single_phase(gpt):
+    """Phased KV-cache windows produce the same greedy trajectory."""
+    params = gpt
+    cond = jnp.array([[3], [9]], dtype=jnp.int32)
+    init_logits, cache = prefill(params, CFG, cond, max_len=40)
+    step_fn = make_step_fn(params, CFG, cond_len=1)
+    sampler = SamplerConfig(greedy=True)
+    t1, _ = decode_tokens(step_fn, cache, init_logits, 20, jax.random.PRNGKey(0), sampler)
+    t4, _ = decode_tokens(
+        step_fn, cache, init_logits, 20, jax.random.PRNGKey(0), sampler,
+        phases=4, cache_len_for_step=lambda s: 1 + s,
+    )
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))
+
+
+def test_phased_decode_sampled_matches(gpt):
+    """Same PRNG keys -> same sampled tokens regardless of phasing."""
+    params = gpt
+    cond = jnp.array([[5]], dtype=jnp.int32)
+    init_logits, cache = prefill(params, CFG, cond, max_len=40)
+    step_fn = make_step_fn(params, CFG, cond_len=1)
+    sampler = SamplerConfig(temperature=1.0, top_k=20)
+    t1, _ = decode_tokens(step_fn, cache, init_logits, 16, jax.random.PRNGKey(7), sampler)
+    t3, _ = decode_tokens(
+        step_fn, cache, init_logits, 16, jax.random.PRNGKey(7), sampler,
+        phases=3, cache_len_for_step=lambda s: 1 + s,
+    )
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t3))

@@ -48,3 +48,16 @@ class KVCache:
     def layer(self, layer: int):
         """Full-length K/V for one layer: ``([B, H, T_max, D], [B, H, T_max, D])``."""
         return self.k[layer], self.v[layer]
+
+    def slice_to(self, t: int) -> "KVCache":
+        """Static-length prefix view (phased decoding: early steps attend a
+        short cache so HBM reads scale with the valid prefix)."""
+        return KVCache(k=self.k[:, :, :, :t], v=self.v[:, :, :, :t])
+
+    def merge_prefix(self, prefix: "KVCache") -> "KVCache":
+        """Write a shorter-T cache back into this one's leading slots."""
+        zeros = (jnp.int32(0),) * 5
+        return KVCache(
+            k=jax.lax.dynamic_update_slice(self.k, prefix.k.astype(self.k.dtype), zeros),
+            v=jax.lax.dynamic_update_slice(self.v, prefix.v.astype(self.v.dtype), zeros),
+        )

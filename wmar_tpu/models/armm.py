@@ -47,6 +47,9 @@ class GenParams:
     greedy: bool = False
     guidance_scale: float = 4.0
     guidance_scale_pow: float = 0.0
+    # KV-cache window phases for the decode scan (1 = single full-size
+    # window; 4 cuts decode-attention HBM reads nearly in half).
+    decode_phases: int = 1
 
     def sampler(self) -> SamplerConfig:
         return SamplerConfig(
@@ -170,6 +173,8 @@ class TamingARMM(ARMMWrapper):
                 gen.sampler(),
                 watermark=wm,
                 cond_tokens=class_ids[:, None],
+                phases=gen.decode_phases,
+                cache_len_for_step=lambda s: 1 + s,  # cond + generated
             )
             return tokens
 
@@ -257,6 +262,8 @@ class RarARMM(ARMMWrapper):
                 gen.sampler(),
                 watermark=wm,
                 cond_tokens=None,  # RAR's processor sees generated ids only
+                phases=gen.decode_phases,
+                cache_len_for_step=lambda s: s + 2,  # [cls, cond] prefix
             )
             return tokens
 
