@@ -52,6 +52,46 @@ class WatermarkRuntime:
 StepFn = Callable[[Any, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, Any]]
 
 
+def make_sampler_fn(
+    sampler: SamplerConfig,
+    watermark: Optional[WatermarkRuntime],
+    rng: jax.Array,
+    cond_len: int,
+):
+    """The fused bias+warp+draw applied at every step (shared by the
+    single-program scan and the per-phase programs)."""
+
+    def sample_one(logits, buffer, step):
+        logits = logits.astype(jnp.float32)
+        if watermark is not None:
+            logits = watermark.bias(logits, buffer, jnp.int32(cond_len) + step, step)
+        return warp_and_sample(
+            jax.random.fold_in(rng, step),
+            logits,
+            temperature=sampler.temperature,
+            top_k=sampler.top_k,
+            top_p=sampler.top_p,
+            greedy=sampler.greedy,
+        )
+
+    return sample_one
+
+
+def make_decode_body(step_fn: StepFn, sample_one, cond_len: int):
+    """One scan-step: forward, sample, record into the context buffer."""
+
+    def body(carry, step):
+        cache, buffer, prev = carry
+        logits, cache = step_fn(cache, prev, step)
+        token = sample_one(logits, buffer, step)
+        buffer = jax.lax.dynamic_update_slice(
+            buffer, token[:, None], (jnp.int32(0), jnp.int32(cond_len) + step)
+        )
+        return (cache, buffer, token), token
+
+    return body
+
+
 def decode_tokens(
     step_fn: StepFn,
     cache: Any,
@@ -95,33 +135,14 @@ def decode_tokens(
     if cond_tokens is not None:
         buffer = buffer.at[:, :c].set(cond_tokens.astype(jnp.int32))
 
-    def sample_one(logits, buffer, step, step_rng):
-        logits = logits.astype(jnp.float32)
-        if watermark is not None:
-            logits = watermark.bias(logits, buffer, jnp.int32(c) + step, step)
-        return warp_and_sample(
-            step_rng,
-            logits,
-            temperature=sampler.temperature,
-            top_k=sampler.top_k,
-            top_p=sampler.top_p,
-            greedy=sampler.greedy,
-        )
-
-    token0 = sample_one(init_logits, buffer, jnp.int32(0), jax.random.fold_in(rng, 0))
+    sample_one = make_sampler_fn(sampler, watermark, rng, c)
+    token0 = sample_one(init_logits, buffer, jnp.int32(0))
     buffer = buffer.at[:, c].set(token0)
 
     if num_steps == 1:
         return token0[:, None], cache
 
-    def body(carry, step):
-        cache, buffer, prev = carry
-        logits, cache = step_fn(cache, prev, step)
-        token = sample_one(logits, buffer, step, jax.random.fold_in(rng, step))
-        buffer = jax.lax.dynamic_update_slice(
-            buffer, token[:, None], (jnp.int32(0), jnp.int32(c) + step)
-        )
-        return (cache, buffer, token), token
+    body = make_decode_body(step_fn, sample_one, c)
 
     from wmar_tpu.engine.kvcache import KVCache
 
