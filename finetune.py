@@ -46,6 +46,8 @@ def get_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="auto-resume from <outdir>/checkpoint.msgpack")
     return p
 
 
@@ -139,6 +141,17 @@ def main(argv=None):
     state = init_state(adapter, optimizer)
     orig_trainable = jax.tree.map(np.asarray, adapter.init_trainable())
 
+    # Auto-resume (full training state incl. optimizer, like syncseal's
+    # checkpoint.pth resume, train_sync.py:317-348).
+    start_epoch = 0
+    resume_path = os.path.join(args.outdir, "checkpoint.msgpack")
+    meta_path = os.path.join(args.outdir, "checkpoint_meta.json")
+    if args.resume and os.path.exists(resume_path):
+        state = ckpt.load_pytree(resume_path, state)
+        with open(meta_path) as f:
+            start_epoch = json.load(f)["next_epoch"]
+        print(f"resumed from {resume_path} at epoch {start_epoch}")
+
     lpips_params = None
     if args.lpips_weights and os.path.exists(args.lpips_weights):
         import flax.serialization
@@ -162,6 +175,8 @@ def main(argv=None):
     history = []
     with jax.set_mesh(mesh):
         for epoch, level in enumerate(levels):
+            if epoch < start_epoch:
+                continue
             if level not in steps:
                 steps[level] = jax.jit(
                     make_train_step(adapter, cfg, level, optimizer, perceptual)
@@ -191,6 +206,9 @@ def main(argv=None):
                 orig_trainable["decoder"],
             )
             history.append({"epoch": epoch, "level": level, "metrics": epoch_metrics})
+            ckpt.save_pytree(resume_path, state)
+            with open(meta_path, "w") as f:
+                json.dump({"next_epoch": epoch + 1}, f)
     with open(os.path.join(args.outdir, "history.json"), "w") as f:
         json.dump({"wall_s": time.time() - t_start, "epochs": history}, f, indent=1)
     print(f"done in {time.time() - t_start:.1f}s")

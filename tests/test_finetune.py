@@ -136,3 +136,22 @@ def test_maskgit_adapter_roundtrip():
     codes = jnp.asarray(np.random.default_rng(4).integers(0, 32, size=(2, 64)))
     state, metrics = step(state, codes, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_finetune_cli_resume(tmp_path):
+    """Interrupt-and-resume continues from the saved epoch."""
+    import finetune
+
+    common = ["--tiny", "--synthetic", "8", "--augs", "none",
+              "--batch_size_per_device", "2", "--lr", "1e-4",
+              "--outdir", str(tmp_path), "--log_every", "100"]
+    finetune.main(common + ["--nb_epochs", "1"])
+    assert (tmp_path / "checkpoint.msgpack").exists()
+    state = finetune.main(common + ["--nb_epochs", "2", "--resume"])
+    import json as _json
+
+    meta = _json.loads((tmp_path / "checkpoint_meta.json").read_text())
+    assert meta["next_epoch"] == 2
+    # one epoch ran before resume, one after (steps/epoch depends on the
+    # device count, so assert epochs via the meta + monotone step count)
+    assert int(state.step) >= 2

@@ -48,7 +48,10 @@ class GenParams:
     guidance_scale: float = 4.0
     guidance_scale_pow: float = 0.0
     # KV-cache window phases for the decode scan (1 = single full-size
-    # window; 4 cuts decode-attention HBM reads nearly in half).
+    # window). Phasing cuts decode-attention HBM reads nearly in half in
+    # exchange for extra program boundaries; measured on a tunneled v5e the
+    # boundary cost outweighs the read savings (23 -> 17 imgs/s), so 1 is
+    # the default — revisit on directly-attached chips.
     decode_phases: int = 1
 
     def sampler(self) -> SamplerConfig:
