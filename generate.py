@@ -63,7 +63,11 @@ def get_parser():
 
     p.add_argument("--orig_only", type=str2bool, default=False)
     p.add_argument("--include_neural_compress", type=str2bool, default=False)
+    p.add_argument("--nc_weights_dir", type=str, default=None,
+                   help="dir of converted codec msgpacks (random weights otherwise)")
     p.add_argument("--include_diffpure", type=str2bool, default=False)
+    p.add_argument("--diffpure_weights", type=str, default=None,
+                   help="converted ADM UNet msgpack (required for diffpure)")
     p.add_argument("--max_roundtrips", type=int, default=1)
     p.add_argument("--exact_jpeg", type=str2bool, default=False)
 
@@ -236,10 +240,51 @@ def main(argv=None):
 
     aug_manager = None
     if not args.orig_only and not args.no_augs:
+        nc_models = None
+        if args.include_neural_compress:
+            from wmar_tpu.augmentations.neural import NeuralCompression
+
+            names = [
+                f"{fam}-q={q}"
+                for fam in ("bmshj2018-factorized", "bmshj2018-hyperprior",
+                            "mbt2018-mean", "mbt2018", "cheng2020-anchor", "cheng2020-attn")
+                for q in (1, 3, 6)
+            ] + ["diffusers-sd-vae-ft-ema", "diffusers-sd-vae-fp16",
+                 "diffusers-deep-compression", "diffusers-flux"]
+            nc_models = {}
+            for name in names:
+                nc = NeuralCompression.from_name(name, image_size=wrapper.image_size)
+                if args.nc_weights_dir:
+                    from wmar_tpu.utils import checkpoint as _ckpt
+
+                    wpath = os.path.join(args.nc_weights_dir, name + ".msgpack")
+                    if os.path.exists(wpath):
+                        nc.params = _ckpt.load_pytree(wpath, nc.params)
+                nc_models[name] = nc
+        diffpure = None
+        if args.include_diffpure and args.diffpure_weights:
+            from wmar_tpu.augmentations.diffpure import (
+                ADMUNet,
+                DiffPure,
+                GUIDED_DIFFUSION_256_UNCOND,
+            )
+            from wmar_tpu.utils import checkpoint as _ckpt
+
+            unet = ADMUNet(GUIDED_DIFFUSION_256_UNCOND)
+            like = jax.eval_shape(
+                lambda: unet.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32))
+            )
+            params = _ckpt.load_pytree(
+                args.diffpure_weights, jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), like)
+            )
+            diffpure = DiffPure(unet, params)
         aug_manager = AugmentationManager(
             include_neural_compress=args.include_neural_compress,
             include_diffpure=args.include_diffpure,
             exact_jpeg=args.exact_jpeg,
+            nc_models=nc_models,
+            diffpure=diffpure,
         )
 
     sync_manager = None

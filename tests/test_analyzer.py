@@ -73,3 +73,13 @@ def test_load_records_from_tree(tmp_path):
     assert r.method == "linear-rand-h=1-d=8.0-g=0.25"
     assert r.transform == "jpeg" and r.param == "25"
     assert r.metrics["pvalue"] == 0.001
+
+
+def test_roc_points():
+    from wmar_tpu.eval.analyzer import roc_points
+
+    wm = [1e-6] * 90 + [0.5] * 10
+    null = list(np.linspace(0.01, 1.0, 100))
+    fpr, tpr, auc = roc_points(wm, null)
+    assert 0.9 <= auc <= 1.0
+    assert tpr[0] <= tpr[-1] and fpr[-1] == 1.0

@@ -182,3 +182,16 @@ def latex_table(table: Dict[str, dict]) -> str:
     header = " & ".join(present) + r" \\"
     row = " & ".join(f"{cats[c]:.2f}" for c in present) + r" \\"
     return "\n".join([r"\begin{tabular}{" + "c" * len(present) + "}", header, r"\midrule", row, r"\end{tabular}"])
+
+
+def roc_points(pvals_watermarked, pvals_null):
+    """ROC curve (FPR, TPR) + AUC from watermarked vs null p-values —
+    the numeric core of the reference's ``plot_roc`` (``analyzer.py:241``).
+    Thresholding p-values sweeps the operating point."""
+    wm = np.sort(np.asarray(pvals_watermarked, dtype=np.float64))
+    null = np.sort(np.asarray(pvals_null, dtype=np.float64))
+    thresholds = np.unique(np.concatenate([[0.0], wm, null, [1.0]]))
+    tpr = np.searchsorted(wm, thresholds, side="right") / max(len(wm), 1)
+    fpr = np.searchsorted(null, thresholds, side="right") / max(len(null), 1)
+    auc = float(np.trapezoid(tpr, fpr))
+    return fpr, tpr, auc
