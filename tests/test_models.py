@@ -191,3 +191,20 @@ def test_rar_split_phase_decode_matches(rar_params, mg_vq):
     c1 = wrapper.sample([1, 2], g1, apply_watermark=True, rng=jax.random.PRNGKey(3))
     c4 = wrapper.sample([1, 2], g4, apply_watermark=True, rng=jax.random.PRNGKey(3))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c4))
+
+
+def test_rar_spatial_watermark_e2e(rar_params, mg_vq):
+    """Spatial seeding: generation contexts line up with spatial-ngram
+    detection (grid neighbors), end to end."""
+    _, vq_params = mg_vq
+    wrapper = RarARMM(rar_params, TINY_RAR, vq_params, TINY_MGVQ, cache_dtype=jnp.float32)
+    spec = WatermarkSpec(
+        vocab_size=64, seed_strategy=SeedStrategy.SPATIAL,
+        split_strategy=SplitStrategy.RANDOM, context_size=1, delta=10.0,
+        gamma=0.25, spatial_dim=4,
+    )
+    wrapper.set_watermarker(spec)
+    gen = GenParams(temperature=1.0, guidance_scale=0.0)
+    codes = wrapper.sample([1, 2, 3, 4], gen, apply_watermark=True, rng=jax.random.PRNGKey(0))
+    pv = np.asarray(detect(spec, wrapper.greenlist, codes))
+    assert (pv < 0.05).all(), pv

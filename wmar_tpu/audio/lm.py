@@ -126,9 +126,11 @@ def _temporal_step(params, cfg: MoshiConfig, x_emb, cache, pos):
         from wmar_tpu.engine.attention import decode_attention
 
         attn = decode_attention(q, k_all, v_all, jnp.asarray(pos) + 1)
-        x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, tcfg.dim) @ blk["wo"]
+        attn_out = attn.transpose(0, 2, 1, 3).reshape(b, 1, tcfg.dim) @ blk["wo"]
+        x = x + (blk["ls1"] * attn_out if "ls1" in blk else attn_out)
         h2 = L._rms(x, blk["ffn_norm"], tcfg.norm_eps)
-        x = x + (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+        ffn_out = (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+        x = x + (blk["ls2"] * ffn_out if "ls2" in blk else ffn_out)
     x = L._rms(x, params["norm"], tcfg.norm_eps)
     return x[:, 0], cache
 
@@ -261,8 +263,10 @@ def _dep_step(params, dcfg, x_emb, cache, pos):
         cache = cache.write(li, pos, k, v)
         k_all, v_all = cache.layer(li)
         attn = decode_attention(q, k_all, v_all, jnp.asarray(pos) + 1)
-        x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, dcfg.dim) @ blk["wo"]
+        attn_out = attn.transpose(0, 2, 1, 3).reshape(b, 1, dcfg.dim) @ blk["wo"]
+        x = x + (blk["ls1"] * attn_out if "ls1" in blk else attn_out)
         h2 = L._rms(x, blk["ffn_norm"], dcfg.norm_eps)
-        x = x + (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+        ffn_out = (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+        x = x + (blk["ls2"] * ffn_out if "ls2" in blk else ffn_out)
     x = L._rms(x, params["norm"], dcfg.norm_eps)
     return x[:, 0], cache

@@ -41,6 +41,9 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     qk_normalization: bool = True
+    # Moshi-style residual LayerScale (diagonal per-channel scales on both
+    # residual branches, ``moshi/modules/transformer.py:77,545-552``).
+    layer_scale: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -91,6 +94,9 @@ def _init_impl(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
         if cfg.qk_normalization:
             blk["q_norm"] = {"scale": jnp.ones((hd,), dtype), "bias": jnp.zeros((hd,), dtype)}
             blk["k_norm"] = {"scale": jnp.ones((hd,), dtype), "bias": jnp.zeros((hd,), dtype)}
+        if cfg.layer_scale:
+            blk["ls1"] = jnp.full((d,), 1e-4, dtype)
+            blk["ls2"] = jnp.full((d,), 1e-4, dtype)
         blocks.append(blk)
     return {
         "tok_embeddings": mat(cfg.vocab_size, d) * 0.02 * (cfg.vocab_size**0.5),
@@ -161,10 +167,12 @@ def llama_forward(
         k_all, v_all = cache.layer(li)
         attn = decode_attention(q, k_all, v_all, jnp.asarray(write_pos) + t, start=start)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
-        x = x + attn @ blk["wo"]
+        attn_out = attn @ blk["wo"]
+        x = x + (blk["ls1"] * attn_out if cfg.layer_scale else attn_out)
 
         h2 = _rms(x, blk["ffn_norm"], cfg.norm_eps)
-        x = x + (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+        ffn_out = (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+        x = x + (blk["ls2"] * ffn_out if cfg.layer_scale else ffn_out)
 
     x = _rms(x, params["norm"], cfg.norm_eps)
     logits = (x @ params["output"]).astype(jnp.float32)
@@ -190,6 +198,9 @@ def llama_tp_specs(params: dict) -> dict:
         if "q_norm" in blk:
             spec["q_norm"] = {"scale": P(), "bias": P()}
             spec["k_norm"] = {"scale": P(), "bias": P()}
+        if "ls1" in blk:
+            spec["ls1"] = P()
+            spec["ls2"] = P()
         return spec
 
     return {

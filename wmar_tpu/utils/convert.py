@@ -358,3 +358,42 @@ def convert_chameleon_llama(sd: StateDict, cfg) -> dict:
         "norm": sd["norm.weight"],
         "output": np.ascontiguousarray(sd["output.weight"].T),
     }
+
+
+# ---------------------------------------------------------------------------
+# Moshi temporal transformer (audio LM backbone)
+# ---------------------------------------------------------------------------
+
+
+def convert_moshi_transformer(sd: StateDict, cfg, prefix: str = "transformer.") -> list:
+    """Moshi ``StreamingTransformer`` layers -> llama-style block params.
+
+    Mapping (``moshi/modules/transformer.py:430-560``, ``gating.py:25-60``):
+    fused ``self_attn.in_proj_weight [3d, d]`` -> wq/wk/wv; gating FFN
+    ``linear_in [2h, d]`` -> (w1 = first h rows, w3 = last h rows),
+    ``linear_out`` -> w2; ``norm1/norm2`` -> attention_norm/ffn_norm;
+    LayerScale ``layer_scale_{1,2}.scale`` -> ls1/ls2."""
+    d = cfg.dim
+    blocks = []
+    for i in range(cfg.n_layers):
+        p = f"{prefix}layers.{i}."
+        in_proj = sd[p + "self_attn.in_proj_weight"]
+        wq, wk, wv = in_proj[:d], in_proj[d : 2 * d], in_proj[2 * d :]
+        lin_in = sd[p + "gating.linear_in.weight"]
+        h = lin_in.shape[0] // 2
+        blk = {
+            "attention_norm": sd[p + "norm1.weight"],
+            "ffn_norm": sd[p + "norm2.weight"],
+            "wq": np.ascontiguousarray(wq.T),
+            "wk": np.ascontiguousarray(wk.T),
+            "wv": np.ascontiguousarray(wv.T),
+            "wo": np.ascontiguousarray(sd[p + "self_attn.out_proj.weight"].T),
+            "w1": np.ascontiguousarray(lin_in[:h].T),
+            "w3": np.ascontiguousarray(lin_in[h:].T),
+            "w2": np.ascontiguousarray(sd[p + "gating.linear_out.weight"].T),
+        }
+        if p + "layer_scale_1.scale" in sd:
+            blk["ls1"] = sd[p + "layer_scale_1.scale"]
+            blk["ls2"] = sd[p + "layer_scale_2.scale"]
+        blocks.append(blk)
+    return blocks
