@@ -19,7 +19,6 @@ Deltas export in the same additive format as the image finetune
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
 
 import flax.struct
 import jax

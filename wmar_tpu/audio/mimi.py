@@ -15,7 +15,7 @@ layered on later). Audio layout: ``[B, T, C]`` (NLC — TPU-friendly), mono.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

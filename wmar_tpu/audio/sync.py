@@ -12,7 +12,7 @@ calls through the pluggable watermark model.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ N=192, M=320 (bmshj2018).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ import json
 import os
 import re
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

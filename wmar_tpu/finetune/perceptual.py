@@ -14,7 +14,7 @@ environments. Both operate on NHWC images in [-1, 1].
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

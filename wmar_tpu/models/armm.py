@@ -22,7 +22,7 @@ which bloats executables and breaks remote-compile backends.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

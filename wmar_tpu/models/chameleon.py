@@ -30,7 +30,7 @@ import numpy as np
 
 from wmar_tpu.core.greenlist import VQInfo
 from wmar_tpu.core.sampling import instruct_cfg_combine
-from wmar_tpu.engine.decode import WatermarkRuntime, decode_tokens
+from wmar_tpu.engine.decode import decode_tokens
 from wmar_tpu.engine.kvcache import KVCache
 from wmar_tpu.models.armm import ARMMWrapper, GenParams
 from wmar_tpu.models.llama import LlamaConfig, llama_forward

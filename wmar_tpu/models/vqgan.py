@@ -18,7 +18,7 @@ e_dim 256, 256px, attn at 16); Chameleon VQGAN (8192 codes, 512px, no attn).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -22,8 +22,6 @@ grow (Chameleon 4k contexts) or when fusing the bias+sample stage in.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -16,8 +16,6 @@ weights once the exact ViT variant is matched (tracked for a later round).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
