@@ -124,3 +124,22 @@ def test_generate_cli_torch_compat_tables(tmp_path):
     ])
     orig = [r for r in records if r["transform"] == "roundtrips" and r["param"] == 0]
     assert all(r["pvalue"] < 1e-2 for r in orig), orig
+
+
+def test_generate_cli_orig_only_layout(tmp_path):
+    """orig_only writes the reference's flat FID layout (images/ + codes/)."""
+    import generate
+
+    generate.main([
+        "--outdir", str(tmp_path),
+        "--model", "taming", "--tiny",
+        "--conditioning", "3",
+        "--num_samples_per_conditioning", "1",
+        "--batch_size", "1",
+        "--wm_method", "gentime", "--wm_seed_strategy", "linear",
+        "--wm_split_strategy", "rand", "--wm_context_size", "1",
+        "--wm_delta", "4.0", "--wm_gamma", "0.25",
+        "--orig_only", "true", "--max_roundtrips", "0",
+    ])
+    assert (tmp_path / "images" / "3:0001.png").exists()
+    assert (tmp_path / "codes" / "3:0001.npy").exists()

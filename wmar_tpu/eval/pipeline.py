@@ -131,7 +131,16 @@ def compute_and_save_batch(
                     **metrics,
                 }
                 records.append(rec)
-                if outdir:
+                if outdir and eval_params.orig_only:
+                    # FID layout (``generate.py:96-109``): flat images/ and
+                    # codes/ dirs, only the unattacked originals.
+                    if transform == "roundtrips" and param == 0:
+                        os.makedirs(os.path.join(outdir, "images"), exist_ok=True)
+                        os.makedirs(os.path.join(outdir, "codes"), exist_ok=True)
+                        stem = f"{conditionings[i]}:{cond_indices[i]:04}"
+                        to_pillow(imgs[i]).save(os.path.join(outdir, "images", stem + ".png"))
+                        np.save(os.path.join(outdir, "codes", stem + ".npy"), codes[i])
+                elif outdir:
                     cdir = os.path.join(outdir, f"c={conditionings[i]},idx={cond_indices[i]}")
                     os.makedirs(cdir, exist_ok=True)
                     stem = f"{cond_indices[i]:04}_{method}_{transform}_{param}"
