@@ -253,7 +253,11 @@ def main(argv=None):
                  "diffusers-deep-compression", "diffusers-flux"]
             nc_models = {}
             for name in names:
-                nc = NeuralCompression.from_name(name, image_size=wrapper.image_size)
+                try:
+                    nc = NeuralCompression.from_name(name, image_size=wrapper.image_size)
+                except Exception as e:  # noqa: BLE001 — codec/stride mismatch etc.
+                    print(f"skipping codec {name}: {e}")
+                    continue
                 if args.nc_weights_dir:
                     from wmar_tpu.utils import checkpoint as _ckpt
 
