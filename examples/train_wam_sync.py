@@ -4,10 +4,15 @@ for quadrant geometric synchronization (estimate + revert a rotation).
 
   python examples/train_wam_sync.py --steps 300 --size 64
 
-Trains the tiny backbone on synthetic images until per-pixel bit accuracy is
-high, then: embed 4 quadrant messages -> rotate the image -> per-pixel
-message assignment -> fit (rotation, cuts, flip) -> revert. Prints the
-estimated vs true rotation.
+Trains the tiny backbone on synthetic images, then: embed 4 quadrant
+messages -> rotate the image -> per-pixel message assignment -> fit
+(rotation, cuts, flip) -> revert. Prints the estimated vs true rotation.
+
+NOTE: minutes of from-scratch training learn watermark *localization* (the
+mask head converges) but not yet reliable per-pixel 32-bit decoding — the
+reference sidesteps this entirely by shipping the pretrained ``wam_mit.pth``
+(days of training). Use converted pretrained weights for production sync;
+this script demonstrates the full training + sync loop mechanics.
 """
 
 from __future__ import annotations

@@ -22,8 +22,8 @@ def test_embed_detect_shapes(model, rng):
     msg = jnp.asarray(rng.integers(0, 2, size=(2, 32)).astype(np.float32))
     wm = model.embed(img, msg)
     assert wm.shape == img.shape
-    # zero-init output conv -> no distortion at init
-    np.testing.assert_allclose(np.asarray(wm), np.asarray(img), atol=1e-5)
+    # small-init output conv -> low distortion at init
+    assert np.abs(np.asarray(wm) - np.asarray(img)).max() < 0.25
     preds = model.detect(wm)
     assert preds.shape == (2, 33, 64, 64)
 

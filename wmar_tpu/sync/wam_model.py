@@ -56,7 +56,11 @@ class WamEmbedder(nn.Module):
         h = up(z, 2 * c.hidden, "up1") + h2
         h = up(h, c.hidden, "up2") + h1
         h = up(h, c.hidden, "up3")
-        return nn.Conv(3, (3, 3), kernel_init=nn.initializers.zeros, name="out")(h)
+        # Small non-zero init: a zero-init delta stalls joint
+        # embedder/extractor training (no bit signal to decode).
+        return nn.Conv(
+            3, (3, 3), kernel_init=nn.initializers.normal(1e-2), name="out"
+        )(h)
 
 
 class WamExtractor(nn.Module):
@@ -86,7 +90,9 @@ class WamExtractor(nn.Module):
             bb, hh, ww, _ = h.shape
             h = jax.image.resize(h, (bb, hh * 2, ww * 2, h.shape[-1]), "nearest")
             h = nn.gelu(nn.Conv(ch, (3, 3), name=f"dec{i}")(h))
-        logits = nn.Conv(1 + c.nbits, (3, 3), name="head")(h)
+        # zero-init: predictions start at BCE-neutral logits instead of
+        # saturated random values (stabilizes from-scratch training)
+        logits = nn.Conv(1 + c.nbits, (3, 3), kernel_init=nn.initializers.zeros, name="head")(h)
         return logits.transpose(0, 3, 1, 2)  # [B, 1+nbits, H, W]
 
 
@@ -133,14 +139,16 @@ def make_train_step(cfg: WAMConfig, optimizer):
         delta = embedder.apply(params["embedder"], imgs01, msg)
         att = jnd_heatmap(imgs01)
         wm = jnp.clip(imgs01 + cfg.scaling_w * att * delta, 0, 1)
-        # random vertical half-plane watermark region
+        # random vertical half-plane watermark region, materialized [B,H,W,1]
         cut = jax.random.randint(k_mask, (b, 1, 1, 1), w // 4, 3 * w // 4)
-        mask = (jnp.arange(w)[None, None, :, None] < cut).astype(jnp.float32)
+        mask = jnp.broadcast_to(
+            (jnp.arange(w)[None, None, :, None] < cut), (b, h, w, 1)
+        ).astype(jnp.float32)
         mixed = wm * mask + imgs01 * (1 - mask)
         mixed = jnp.clip(mixed + jax.random.normal(k_noise, mixed.shape) * 0.01, 0, 1)
 
         logits = extractor.apply(params["extractor"], mixed)  # [B, 33, H, W]
-        mask_t = mask[:, :, :, 0][:, None]
+        mask_t = mask[:, :, :, 0][:, None]  # [B, 1, H, W]
         mask_loss = optax_sigmoid_bce(logits[:, 0:1], mask_t).mean()
         bits_t = msg[:, :, None, None]
         bit_loss = (optax_sigmoid_bce(logits[:, 1:], bits_t) * mask_t).sum() / (
