@@ -179,3 +179,11 @@ def test_moshi_prompt_teacher_forcing():
     prompt = jnp.asarray(np.random.default_rng(0).integers(0, 32, size=(1, 4, 5)))
     _, audio = gen.generate(12, jax.random.PRNGKey(0), batch=1, prompt_codes=prompt)
     np.testing.assert_array_equal(np.asarray(audio[:, :, :5]), np.asarray(prompt))
+
+
+def test_moshi_text_prompt_teacher_forcing():
+    params = init_moshi_params(jax.random.PRNGKey(0), TINY_MOSHI)
+    gen = MoshiGen(params, TINY_MOSHI, None)
+    text_prompt = jnp.asarray(np.random.default_rng(1).integers(0, 50, size=(1, 6)))
+    text, _ = gen.generate(12, jax.random.PRNGKey(0), batch=1, text_prompt=text_prompt)
+    np.testing.assert_array_equal(np.asarray(text[:, :6]), np.asarray(text_prompt))

@@ -55,7 +55,9 @@ def main(argv=None):
         MoshiConfig,
         MoshiGen,
         WMConfig,
+        gumbel_score,
         init_moshi_params,
+        pvalue_gumbel,
         pvalue_maryland,
         score_stream_maryland,
         window_hash,
@@ -105,11 +107,16 @@ def main(argv=None):
             re_codes = mimi.apply(mimi_params, attacked, method=Mimi.encode)
             for b in range(args.batch_size):
                 for s in range(min(moshi_cfg.n_audio_streams, re_codes.shape[1])):
+                    hashes_s = fixed_hashes[: re_codes.shape[2]]
                     if args.wm_method == "maryland" and (s + 1) in streams:
                         ng, ns = score_stream_maryland(
-                            re_codes[b, s], fixed_hashes[: re_codes.shape[2]], args.wm_gamma, salt=0
+                            re_codes[b, s], hashes_s, args.wm_gamma, salt=0
                         )
                         pval = float(pvalue_maryland(ng, ns, args.wm_gamma))
+                    elif args.wm_method == "gumbel" and (s + 1) in streams:
+                        scores = gumbel_score(re_codes[b, s], hashes_s)
+                        n = re_codes.shape[2]
+                        pval = float(pvalue_gumbel(scores.sum(), jnp.int32(n)))
                     else:
                         pval = None
                     tm = float((re_codes[b, s] == audio_codes[b, s][: re_codes.shape[2]]).mean())

@@ -169,11 +169,13 @@ class MoshiGen:
         rng: jax.Array,
         batch: int = 1,
         prompt_codes: Optional[jnp.ndarray] = None,
+        text_prompt: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Generate ``n_frames``; returns (text [B, T], audio [B, K, T]).
 
-        ``prompt_codes [B, K, Tp]`` optionally teacher-forces the first
-        frames' audio inputs (the reference's audio-prompted eval).
+        ``prompt_codes [B, K, Tp]`` teacher-forces the first frames' audio
+        inputs (the reference's audio-prompted eval); ``text_prompt [B, Tt]``
+        does the same for the text stream (TTS-style conditioning).
         """
         cfg = self.cfg
         p = self.params
@@ -211,6 +213,12 @@ class MoshiGen:
                 if ngram > 0 else jnp.zeros((batch, 0), jnp.int32)
             )
             text_tok = self._sample_stream(text_logits, 0, ctx, jax.random.fold_in(r, 0))
+            if text_prompt is not None:
+                tt = text_prompt.shape[-1]
+                forced_t = jax.lax.dynamic_slice(
+                    text_prompt, (0, jnp.minimum(t, tt - 1)), (batch, 1)
+                )[:, 0]
+                text_tok = jnp.where(t < tt, forced_t, text_tok)
             text_hist = jax.lax.dynamic_update_slice(
                 text_hist, text_tok[:, None].astype(jnp.int32), (0, t + 8)
             )
