@@ -88,3 +88,12 @@ def test_validation_token_match(wrapper):
     tm = np.asarray(validation_token_match(wrapper, trainable, codes))
     assert tm.shape == (1, 2)
     assert ((tm >= 0) & (tm <= 1)).all()
+
+
+def test_sisnr_metric():
+    from wmar_tpu.utils.metrics import sisnr
+
+    x = np.sin(np.linspace(0, 50, 1000))
+    assert sisnr(x, x) > 80  # identical -> huge SNR
+    assert sisnr(2 * x, x) > 80  # scale-invariant
+    assert sisnr(np.random.default_rng(0).normal(size=1000), x) < 5

@@ -107,3 +107,14 @@ def test_save_load_roundtrip(model, tmp_path):
     l1 = jax.tree.leaves(model.embedder_params)[0]
     l2 = jax.tree.leaves(loaded.embedder_params)[0]
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_evaluate_sync(model, rng):
+    from wmar_tpu.sync.syncseal import evaluate_sync
+
+    imgs01 = jnp.asarray(rng.uniform(0, 1, size=(2, 32, 32, 3)).astype(np.float32))
+    report = evaluate_sync(model, imgs01, jax.random.PRNGKey(0))
+    assert report["psnr"] > 20
+    assert len(report["grid"]) == 3
+    for row in report["grid"]:
+        assert 0 <= row["corner_mae"] <= 1

@@ -269,3 +269,25 @@ def make_train_step(model: SyncSealModel, optimizer, perceptual=None, corner_wei
         return (params, opt_state), metrics
 
     return train_step
+
+
+def evaluate_sync(model: SyncSealModel, imgs01, rng, strengths=(0.05, 0.15, 0.25)):
+    """Corner-error eval grid (the reference's ``evals/eval_sync.py``):
+    embed, warp by known corners at several strengths, detect, report
+    mean corner error (normalized units) and embedding PSNR."""
+    import numpy as np
+
+    embedded = model.embed_params(model.embedder_params, imgs01)
+    mse = float(jnp.mean((embedded - imgs01) ** 2))
+    psnr = float(10 * np.log10(1.0 / max(mse, 1e-12)))
+    rows = []
+    b = imgs01.shape[0]
+    for si, s in enumerate(strengths):
+        corners = jax.vmap(lambda k: random_corner_homography(k, strength=s))(
+            jax.random.split(jax.random.fold_in(rng, si), b)
+        )
+        warped = apply_corner_warp(embedded, corners)
+        pred = model.detect_params(model.extractor_params, warped)
+        err = float(jnp.abs(pred - corners).mean())
+        rows.append({"strength": s, "corner_mae": err})
+    return {"psnr": psnr, "grid": rows}

@@ -29,3 +29,15 @@ def l0_token_mismatch(codes, orig_codes) -> jnp.ndarray:
     codes = jnp.asarray(codes)
     orig_codes = jnp.asarray(orig_codes)
     return (codes != orig_codes).mean(axis=-1)
+
+
+def sisnr(est, ref) -> float:
+    """Scale-invariant SNR in dB (the reference's audio quality metric,
+    ``wmar_audio/evals/metrics.py``). Inputs [T] or [B, T, 1]."""
+    est = np.asarray(est, dtype=np.float64).reshape(-1)
+    ref = np.asarray(ref, dtype=np.float64).reshape(-1)
+    ref = ref - ref.mean()
+    est = est - est.mean()
+    s = (est @ ref) / (ref @ ref + 1e-12) * ref
+    noise = est - s
+    return float(10 * np.log10((s @ s + 1e-12) / (noise @ noise + 1e-12)))
