@@ -293,9 +293,9 @@ def main(argv=None):
 
     sync_manager = None
     if args.sync:
-        from wmar_tpu.sync import load_sync_manager
+        from wmar_tpu.sync.manager import SyncManager
 
-        sync_manager = load_sync_manager(args.syncpath)
+        sync_manager = SyncManager.from_path(args.syncpath, image_size=wrapper.image_size)
 
     gen = GenParams(
         temperature=args.temperature,

@@ -143,3 +143,31 @@ def test_generate_cli_orig_only_layout(tmp_path):
     ])
     assert (tmp_path / "images" / "3:0001.png").exists()
     assert (tmp_path / "codes" / "3:0001.npy").exists()
+
+
+def test_generate_cli_with_syncseal(tmp_path):
+    """--sync with a saved SyncSeal checkpoint runs the full synced pipeline."""
+    import jax
+
+    import generate
+    from wmar_tpu.sync.syncseal import SyncSealConfig, SyncSealModel
+
+    model = SyncSealModel.init(jax.random.PRNGKey(0), SyncSealConfig(image_size=32))
+    sync_path = str(tmp_path / "syncmodel.msgpack")
+    model.save(sync_path)
+
+    records = generate.main([
+        "--outdir", str(tmp_path / "out"),
+        "--model", "taming", "--tiny",
+        "--conditioning", "3",
+        "--num_samples_per_conditioning", "1",
+        "--batch_size", "1",
+        "--wm_method", "gentime", "--wm_seed_strategy", "linear",
+        "--wm_split_strategy", "rand", "--wm_context_size", "1",
+        "--wm_delta", "8.0", "--wm_gamma", "0.25",
+        "--max_roundtrips", "1", "--no_augs",
+        "--sync", "true", "--syncpath", sync_path,
+    ])
+    assert records
+    for r in records:
+        assert 0.0 <= r["pvalue"] <= 1.0

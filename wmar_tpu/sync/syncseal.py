@@ -156,9 +156,19 @@ class SyncSealModel:
         return SyncSealModel(emb.init(k1, x), ext.init(k2, x), cfg, emb, ext)
 
     @staticmethod
-    def load(path: str, cfg: SyncSealConfig = SyncSealConfig()):
+    def load(path: str, cfg: Optional[SyncSealConfig] = None):
+        import json
+        import os
+
         from wmar_tpu.utils import checkpoint as ckpt
 
+        meta_path = path + ".json"
+        if cfg is None:
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    cfg = SyncSealConfig(**json.load(f))
+            else:
+                cfg = SyncSealConfig()
         model = SyncSealModel.init(jax.random.PRNGKey(0), cfg)
         state = ckpt.load_pytree(path, {"embedder": model.embedder_params,
                                         "extractor": model.extractor_params})
@@ -166,10 +176,15 @@ class SyncSealModel:
                              model.embedder, model.extractor)
 
     def save(self, path: str):
+        import dataclasses as _dc
+        import json
+
         from wmar_tpu.utils import checkpoint as ckpt
 
         ckpt.save_pytree(path, {"embedder": self.embedder_params,
                                 "extractor": self.extractor_params})
+        with open(path + ".json", "w") as f:
+            json.dump(_dc.asdict(self.cfg), f)
 
     # -- inference API (imgs in [-1, 1] NHWC, matching the SyncManager) ----
 
