@@ -142,6 +142,7 @@ class MoshiGen:
         self.params = params
         self.cfg = cfg
         self.wm = wm_cfg
+        self._jit_cache: dict = {}
 
     def _sample_stream(self, logits, stream_idx, ctx_tokens, rng):
         """Apply the right sampler for one stream (0 = text). ``ctx_tokens``
@@ -176,9 +177,34 @@ class MoshiGen:
         ``prompt_codes [B, K, Tp]`` teacher-forces the first frames' audio
         inputs (the reference's audio-prompted eval); ``text_prompt [B, Tt]``
         does the same for the text stream (TTS-style conditioning).
+
+        Params travel as jit ARGUMENTS (closure-captured weights become HLO
+        constants, breaking remote-compile backends — see armm.py note).
         """
+        key = (n_frames, batch,
+               None if prompt_codes is None else tuple(prompt_codes.shape),
+               None if text_prompt is None else tuple(text_prompt.shape))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            def build(params, rng, prompt_codes, text_prompt):
+                return self._generate_impl(
+                    params, n_frames, rng, batch, prompt_codes, text_prompt
+                )
+
+            fn = self._jit_cache[key] = jax.jit(build)
+        return fn(self.params, rng, prompt_codes, text_prompt)
+
+    def _generate_impl(
+        self,
+        params,
+        n_frames: int,
+        rng: jax.Array,
+        batch: int,
+        prompt_codes: Optional[jnp.ndarray],
+        text_prompt: Optional[jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
-        p = self.params
+        p = params
         k_streams = cfg.n_audio_streams
         tcfg, dcfg = cfg.temporal_cfg(), cfg.dep_cfg()
         max_delay = max(cfg.delays)
