@@ -13,7 +13,7 @@ Weights are random (the published checkpoints are not fetchable in this
 environment); throughput is architecture+shape bound, not weight bound.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-Env knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 3), BENCH_TINY=1.
+Env knobs: BENCH_BATCH (default 64), BENCH_ITERS (default 3), BENCH_TINY=1.
 """
 
 from __future__ import annotations
