@@ -64,7 +64,11 @@ def get_parser():
     p.add_argument("--orig_only", type=str2bool, default=False)
     p.add_argument("--include_neural_compress", type=str2bool, default=False)
     p.add_argument("--nc_weights_dir", type=str, default=None,
-                   help="dir of converted codec msgpacks (random weights otherwise)")
+                   help="dir of codec weights ({name}.msgpack converted pytrees or "
+                        "{name}.pth raw compressai / {name}.safetensors diffusers)")
+    p.add_argument("--nc_allow_random", type=str2bool, default=False,
+                   help="explicitly acknowledge running codecs with RANDOM weights "
+                        "(destruction, not compression; rows are tagged)")
     p.add_argument("--include_diffpure", type=str2bool, default=False)
     p.add_argument("--diffpure_weights", type=str, default=None,
                    help="converted ADM UNet msgpack (required for diffpure)")
@@ -242,46 +246,55 @@ def main(argv=None):
     if not args.orig_only and not args.no_augs:
         nc_models = None
         if args.include_neural_compress:
-            from wmar_tpu.augmentations.neural import NeuralCompression
+            from wmar_tpu.augmentations.neural import build_codec_bank
 
-            names = [
-                f"{fam}-q={q}"
-                for fam in ("bmshj2018-factorized", "bmshj2018-hyperprior",
-                            "mbt2018-mean", "mbt2018", "cheng2020-anchor", "cheng2020-attn")
-                for q in (1, 3, 6)
-            ] + ["diffusers-sd-vae-ft-ema", "diffusers-sd-vae-fp16",
-                 "diffusers-deep-compression", "diffusers-flux"]
-            nc_models = {}
-            for name in names:
-                try:
-                    nc = NeuralCompression.from_name(name, image_size=wrapper.image_size)
-                except Exception as e:  # noqa: BLE001 — codec/stride mismatch etc.
-                    print(f"skipping codec {name}: {e}")
-                    continue
-                if args.nc_weights_dir:
-                    from wmar_tpu.utils import checkpoint as _ckpt
-
-                    wpath = os.path.join(args.nc_weights_dir, name + ".msgpack")
-                    if os.path.exists(wpath):
-                        nc.params = _ckpt.load_pytree(wpath, nc.params)
-                nc_models[name] = nc
+            nc_models = build_codec_bank(
+                weights_dir=args.nc_weights_dir,
+                allow_random=args.nc_allow_random,
+                image_size=wrapper.image_size,
+            )
+            if not nc_models:
+                raise SystemExit(
+                    "--include_neural_compress was set but no codec could be "
+                    "built; provide --nc_weights_dir with converted checkpoints "
+                    "or pass --nc_allow_random true to acknowledge random-weight "
+                    "destruction slots."
+                )
         diffpure = None
-        if args.include_diffpure and args.diffpure_weights:
+        if args.include_diffpure:
+            if not args.diffpure_weights:
+                raise SystemExit(
+                    "--include_diffpure requires --diffpure_weights "
+                    "(256x256_diffusion_uncond.pt or a converted msgpack); "
+                    "a random-weight purifier is not DiffPure."
+                )
             from wmar_tpu.augmentations.diffpure import (
                 ADMUNet,
                 DiffPure,
                 GUIDED_DIFFUSION_256_UNCOND,
+                convert_adm_unet,
             )
-            from wmar_tpu.utils import checkpoint as _ckpt
 
             unet = ADMUNet(GUIDED_DIFFUSION_256_UNCOND)
-            like = jax.eval_shape(
-                lambda: unet.init(jax.random.PRNGKey(0),
-                                  jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32))
-            )
-            params = _ckpt.load_pytree(
-                args.diffpure_weights, jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), like)
-            )
+            if args.diffpure_weights.endswith((".pt", ".pth")):
+                from wmar_tpu.utils.convert import load_torch_state_dict
+
+                params = jax.tree.map(
+                    jnp.asarray,
+                    convert_adm_unet(load_torch_state_dict(args.diffpure_weights),
+                                     GUIDED_DIFFUSION_256_UNCOND),
+                )
+            else:
+                from wmar_tpu.utils import checkpoint as _ckpt
+
+                like = jax.eval_shape(
+                    lambda: unet.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32))
+                )
+                params = _ckpt.load_pytree(
+                    args.diffpure_weights,
+                    jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), like),
+                )
             diffpure = DiffPure(unet, params)
         aug_manager = AugmentationManager(
             include_neural_compress=args.include_neural_compress,

@@ -1,0 +1,477 @@
+"""Torch-oracle parity for the exact WAM port (wam_exact.py).
+
+The oracle re-states the watermark-anything modules at tiny dims with the
+``wam_mit.pth`` state-dict naming: taming-style VAE embedder + binary+concat
+MsgProcessor (models/embedder.py, modules/{vae,msg_processor}.py), SAM/ViTDet
+extractor with windowed attention + decomposed rel-pos + LayerNorm neck
+(modules/vit.py), bilinear PixelDecoder (modules/pixel_decoder.py), and the
+jnd_1_3_blue attenuation (modules/jnd.py).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from wmar_tpu.models.vqgan import VQGANConfig
+from wmar_tpu.sync import wam_exact as wx
+
+# tiny geometry: 32px images, patch 8 -> 4x4 grid, window 2, 2 blocks
+TINY_VIT = wx.SAMViTConfig(
+    img_size=32, patch_size=8, embed_dim=16, out_chans=16, depth=2,
+    num_heads=2, window_size=2, global_attn_indexes=(1,),
+)
+TINY_ENC = VQGANConfig(resolution=32, ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                       attn_resolutions=(), z_channels=4, n_embed=1, embed_dim=4)
+TINY_DEC = VQGANConfig(resolution=32, ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                       attn_resolutions=(), z_channels=12, n_embed=1, embed_dim=12)
+TINY_NBITS = 4  # hidden = 8; dec z = 4 + 8 = 12
+
+
+# --- torch oracle modules (watermark_anything naming) -----------------------
+
+
+class ChannelsFirstLN(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(c))
+        self.bias = nn.Parameter(torch.zeros(c))
+
+    def forward(self, x):
+        u = x.mean(1, keepdim=True)
+        s = (x - u).pow(2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + 1e-6)
+        return self.weight[:, None, None] * x + self.bias[:, None, None]
+
+
+class ResnetBlock(nn.Module):
+    def __init__(self, i, o):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(4, i, eps=1e-6)
+        self.conv1 = nn.Conv2d(i, o, 3, padding=1)
+        self.norm2 = nn.GroupNorm(4, o, eps=1e-6)
+        self.conv2 = nn.Conv2d(o, o, 3, padding=1)
+        if i != o:
+            self.nin_shortcut = nn.Conv2d(i, o, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "nin_shortcut"):
+            x = self.nin_shortcut(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, stride=2)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+
+class Upsample(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+
+class VAEEncoder(nn.Module):
+    def __init__(self, cfg: VQGANConfig):
+        super().__init__()
+        ch = cfg.ch
+        mults = (1,) + tuple(cfg.ch_mult)
+        self.conv_in = nn.Conv2d(3, ch, 3, padding=1)
+        self.down = nn.ModuleList()
+        for i, m in enumerate(cfg.ch_mult):
+            lvl = nn.Module()
+            lvl.block = nn.ModuleList(
+                [ResnetBlock(ch * mults[i] if j == 0 else ch * m, ch * m)
+                 for j in range(cfg.num_res_blocks)]
+            )
+            if i != len(cfg.ch_mult) - 1:
+                lvl.downsample = Downsample(ch * m)
+            self.down.append(lvl)
+        bi = ch * cfg.ch_mult[-1]
+        self.mid = nn.Module()
+        self.mid.block_1 = ResnetBlock(bi, bi)
+        self.mid.attn_1 = TamingAttn(bi)
+        self.mid.block_2 = ResnetBlock(bi, bi)
+        self.norm_out = nn.GroupNorm(4, bi, eps=1e-6)
+        self.conv_out = nn.Conv2d(bi, cfg.z_channels, 3, padding=1)
+
+    def forward(self, x):
+        h = self.conv_in(x)
+        for i, lvl in enumerate(self.down):
+            for blk in lvl.block:
+                h = blk(h)
+            if hasattr(lvl, "downsample"):
+                h = lvl.downsample(h)
+        h = self.mid.block_2(self.mid.attn_1(self.mid.block_1(h)))
+        return self.conv_out(F.silu(self.norm_out(h)))
+
+
+class TamingAttn(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = nn.GroupNorm(4, c, eps=1e-6)
+        self.q, self.k, self.v = (nn.Conv2d(c, c, 1) for _ in range(3))
+        self.proj_out = nn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        hn = self.norm(x)
+        q = self.q(hn).reshape(b, c, h * w).permute(0, 2, 1)
+        k = self.k(hn).reshape(b, c, h * w)
+        a = torch.softmax(torch.bmm(q, k) * c**-0.5, dim=2)
+        v = self.v(hn).reshape(b, c, h * w)
+        out = torch.bmm(v, a.permute(0, 2, 1)).reshape(b, c, h, w)
+        return x + self.proj_out(out)
+
+
+class VAEDecoder(nn.Module):
+    def __init__(self, cfg: VQGANConfig, z_in: int):
+        super().__init__()
+        ch = cfg.ch
+        bi = ch * cfg.ch_mult[-1]
+        self.conv_in = nn.Conv2d(z_in, bi, 3, padding=1)
+        self.mid = nn.Module()
+        self.mid.block_1 = ResnetBlock(bi, bi)
+        self.mid.attn_1 = TamingAttn(bi)
+        self.mid.block_2 = ResnetBlock(bi, bi)
+        self.up = nn.ModuleList()
+        levels = []
+        block_in = bi
+        for i in reversed(range(len(cfg.ch_mult))):
+            bo = ch * cfg.ch_mult[i]
+            lvl = nn.Module()
+            lvl.block = nn.ModuleList(
+                [ResnetBlock(block_in if j == 0 else bo, bo)
+                 for j in range(cfg.num_res_blocks + 1)]
+            )
+            block_in = bo
+            if i != 0:
+                lvl.upsample = Upsample(bo)
+            levels.insert(0, lvl)
+        self.up = nn.ModuleList(levels)
+        self.norm_out = nn.GroupNorm(4, block_in, eps=1e-6)
+        self.conv_out = nn.Conv2d(block_in, 3, 3, padding=1)
+
+    def forward(self, z):
+        h = self.conv_in(z)
+        h = self.mid.block_2(self.mid.attn_1(self.mid.block_1(h)))
+        for i in reversed(range(len(self.up))):
+            for blk in self.up[i].block:
+                h = blk(h)
+            if hasattr(self.up[i], "upsample"):
+                h = self.up[i].upsample(h)
+        return torch.tanh(self.conv_out(F.silu(self.norm_out(h))))
+
+
+class MsgProcessor(nn.Module):
+    def __init__(self, nbits, hidden):
+        super().__init__()
+        self.msg_embeddings = nn.Embedding(2 * nbits, hidden)
+
+    def forward(self, latents, msg):
+        indices = 2 * torch.arange(msg.shape[-1]).repeat(msg.shape[0], 1)
+        indices = (indices + msg).long()
+        aux = self.msg_embeddings(indices).sum(dim=-2)
+        aux = aux[:, :, None, None].repeat(1, 1, latents.shape[-2], latents.shape[-1])
+        return torch.cat([latents, aux], dim=1)
+
+
+class SAMAttention(nn.Module):
+    def __init__(self, dim, heads, size):
+        super().__init__()
+        self.num_heads = heads
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        hd = dim // heads
+        self.rel_pos_h = nn.Parameter(0.02 * torch.randn(2 * size - 1, hd))
+        self.rel_pos_w = nn.Parameter(0.02 * torch.randn(2 * size - 1, hd))
+
+    def forward(self, x):
+        B, H, W, _ = x.shape
+        qkv = self.qkv(x).reshape(B, H * W, 3, self.num_heads, -1).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.reshape(3, B * self.num_heads, H * W, -1).unbind(0)
+        hd = q.shape[-1]
+        attn = (q * hd**-0.5) @ k.transpose(-2, -1)
+        coords = (torch.arange(H)[:, None] - torch.arange(H)[None, :]) + H - 1
+        Rh = self.rel_pos_h[coords.long()]
+        Rw = self.rel_pos_w[coords.long()]
+        r_q = q.reshape(-1, H, W, hd)
+        rel_h = torch.einsum("bhwc,hkc->bhwk", r_q, Rh)
+        rel_w = torch.einsum("bhwc,wkc->bhwk", r_q, Rw)
+        attn = (attn.view(-1, H, W, H, W) + rel_h[:, :, :, :, None]
+                + rel_w[:, :, :, None, :]).view(-1, H * W, H * W)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).view(B, self.num_heads, H, W, -1).permute(0, 2, 3, 1, 4).reshape(B, H, W, -1)
+        return self.proj(x)
+
+
+def window_partition(x, ws):
+    B, H, W, C = x.shape
+    x = x.view(B, H // ws, ws, W // ws, ws, C)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C), (H, W)
+
+
+def window_unpartition(w, ws, pad_hw, hw):
+    Hp, Wp = pad_hw
+    B = w.shape[0] // (Hp * Wp // ws // ws)
+    x = w.view(B, Hp // ws, Wp // ws, ws, ws, -1)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+
+
+class MLPBlock(nn.Module):
+    def __init__(self, d, m):
+        super().__init__()
+        self.lin1, self.lin2 = nn.Linear(d, m), nn.Linear(m, d)
+
+    def forward(self, x):
+        return self.lin2(F.gelu(self.lin1(x)))
+
+
+class SAMBlock(nn.Module):
+    def __init__(self, cfg, window):
+        super().__init__()
+        d = cfg.embed_dim
+        self.norm1 = nn.LayerNorm(d, eps=1e-6)
+        size = cfg.window_size if window else cfg.grid
+        self.attn = SAMAttention(d, cfg.num_heads, size)
+        self.norm2 = nn.LayerNorm(d, eps=1e-6)
+        self.mlp = MLPBlock(d, int(d * cfg.mlp_ratio))
+        self.window_size = cfg.window_size if window else 0
+
+    def forward(self, x):
+        shortcut = x
+        x = self.norm1(x)
+        if self.window_size > 0:
+            H, W = x.shape[1], x.shape[2]
+            x, pad_hw = window_partition(x, self.window_size)
+            x = self.attn(x)
+            x = window_unpartition(x, self.window_size, pad_hw, (H, W))
+        else:
+            x = self.attn(x)
+        x = shortcut + x
+        return x + self.mlp(self.norm2(x))
+
+
+class ImageEncoderViT(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        d = cfg.embed_dim
+        pe = nn.Module()
+        pe.proj = nn.Conv2d(3, d, cfg.patch_size, stride=cfg.patch_size)
+        self.patch_embed = pe
+        self.pos_embed = nn.Parameter(0.02 * torch.randn(1, cfg.grid, cfg.grid, d))
+        self.blocks = nn.ModuleList(
+            [SAMBlock(cfg, window=(i not in cfg.global_attn_indexes))
+             for i in range(cfg.depth)]
+        )
+        self.neck = nn.Sequential(
+            nn.Conv2d(d, cfg.out_chans, 1, bias=False),
+            ChannelsFirstLN(cfg.out_chans),
+            nn.Conv2d(cfg.out_chans, cfg.out_chans, 3, padding=1, bias=False),
+            ChannelsFirstLN(cfg.out_chans),
+        )
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x).permute(0, 2, 3, 1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.neck(x.permute(0, 3, 1, 2))
+
+
+class PDUpsample(nn.Module):
+    def __init__(self, i, o, f):
+        super().__init__()
+        self.upsample_block = nn.Sequential(
+            nn.Upsample(scale_factor=f, mode="bilinear", align_corners=False),
+            nn.ReflectionPad2d(1),
+            nn.Conv2d(i, o, 3, bias=False),
+            ChannelsFirstLN(o),
+            nn.GELU(),
+        )
+
+    def forward(self, x):
+        return self.upsample_block(x)
+
+
+class PixelDecoder(nn.Module):
+    def __init__(self, embed_dim, nbits, stages=(4, 2, 2)):
+        super().__init__()
+        ups, ch = [], embed_dim
+        for f in stages:
+            ups.append(PDUpsample(ch, ch // f, f))
+            ch //= f
+        self.output_upscaling = nn.Sequential(*ups)
+        self.last_layer = nn.Conv2d(ch, nbits + 1, 1, bias=True)
+
+    def forward(self, x):
+        return self.last_layer(self.output_upscaling(x))
+
+
+class TinyWam(nn.Module):
+    """embedder.{encoder,msg_processor,decoder} + detector.{image_encoder,
+    pixel_decoder} — the wam_mit.pth key layout."""
+
+    def __init__(self):
+        super().__init__()
+        emb = nn.Module()
+        emb.encoder = VAEEncoder(TINY_ENC)
+        emb.msg_processor = MsgProcessor(TINY_NBITS, 2 * TINY_NBITS)
+        emb.decoder = VAEDecoder(TINY_DEC, TINY_DEC.z_channels)
+        self.embedder = emb
+        det = nn.Module()
+        det.image_encoder = ImageEncoderViT(TINY_VIT)
+        det.pixel_decoder = PixelDecoder(TINY_VIT.out_chans, TINY_NBITS, (2, 2, 2))
+        self.detector = det
+
+
+MEAN = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+STD = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def tiny_wam():
+    torch.manual_seed(0)
+    model = TinyWam().eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # tiny grid: GroupNorm groups=4 (channels of 8); the JAX modules use 32.
+    # monkeypatch not needed — our vqgan _norm is 32 groups; instead use
+    # channel sizes that 32 doesn't divide? Simpler: convert + run on a
+    # variant whose flax norm groups match. See test body.
+    return model, sd
+
+
+def _convert_tiny(sd):
+    return wx.convert_wam(sd, vit_cfg=TINY_VIT, upscale_stages=(2, 2, 2),
+                          enc_cfg=TINY_ENC, dec_cfg=TINY_DEC)
+
+
+def test_msg_concat_parity(tiny_wam):
+    model, sd = tiny_wam
+    torch.manual_seed(1)
+    lat = torch.randn(2, 4, 8, 8)
+    msg = torch.randint(0, 2, (2, TINY_NBITS))
+    with torch.no_grad():
+        ref = model.embedder.msg_processor(lat, msg)
+    out = wx.msg_concat(
+        jnp.asarray(sd["embedder.msg_processor.msg_embeddings.weight"]),
+        jnp.asarray(lat.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(msg.numpy()),
+    )
+    np.testing.assert_allclose(
+        np.transpose(out, (0, 3, 1, 2)), ref.numpy(), atol=1e-6
+    )
+
+
+def test_sam_encoder_parity(tiny_wam):
+    model, sd = tiny_wam
+    torch.manual_seed(2)
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        ref = model.detector.image_encoder(x)
+    params = jax.tree.map(jnp.asarray, _convert_tiny(sd)["vit"])
+    out = wx.sam_encoder(params, TINY_VIT, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.transpose(out, (0, 3, 1, 2)), ref.numpy(), atol=2e-5
+    )
+
+
+def test_pixel_decoder_parity(tiny_wam):
+    model, sd = tiny_wam
+    torch.manual_seed(3)
+    feats = torch.randn(2, TINY_VIT.out_chans, 4, 4)
+    with torch.no_grad():
+        ref = model.detector.pixel_decoder(feats)
+    params = jax.tree.map(jnp.asarray, _convert_tiny(sd)["pixel_decoder"])
+    out = wx.pixel_decoder(params, jnp.asarray(feats.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.transpose(out, (0, 3, 1, 2)), ref.numpy(), atol=2e-4
+    )
+
+
+def test_jnd_parity():
+    """jnd_1_3_blue heatmaps + blend against a direct torch restatement."""
+    torch.manual_seed(4)
+    x01 = torch.rand(2, 3, 16, 16)
+
+    # torch reference (modules/jnd.py semantics)
+    kx = torch.tensor([[-1., 0., 1.], [-2., 0., 2.], [-1., 0., 1.]]).view(1, 1, 3, 3)
+    ky = torch.tensor([[1., 2., 1.], [0., 0., 0.], [-1., -2., -1.]]).view(1, 1, 3, 3)
+    kl = torch.tensor([[1., 1., 1., 1., 1.], [1., 2., 2., 2., 1.], [1., 2., 0., 2., 1.],
+                       [1., 2., 2., 2., 1.], [1., 1., 1., 1., 1.]]).view(1, 1, 5, 5)
+    imgs = 255 * x01
+    lum = 0.299 * imgs[:, 0:1] + 0.587 * imgs[:, 1:2] + 0.114 * imgs[:, 2:3]
+    la = F.conv2d(lum, kl, padding=2) / 32
+    mask = la <= 127
+    la = torch.where(mask, 17 * (1 - torch.sqrt(la.clamp(min=0) / 127 + 1e-5)),
+                     3 / 128 * (la - 127) + 3)
+    gx, gy = F.conv2d(lum, kx, padding=1), F.conv2d(lum, ky, padding=1)
+    cm = torch.sqrt(gx**2 + gy**2)
+    cm = 0.117 * (16 * cm**2.4 / (cm**2 + 26**2))
+    h = torch.clamp_min(la + cm - 0.3 * torch.minimum(la, cm), 0).repeat(1, 3, 1, 1)
+    h[:, 0] *= 0.5
+    h[:, 1] *= 0.5
+    ref = (h / 255).numpy()
+
+    out = wx.jnd_heatmaps(jnp.asarray(x01.numpy().transpose(0, 2, 3, 1)), blue=True)
+    np.testing.assert_allclose(np.transpose(out, (0, 3, 1, 2)), ref, atol=1e-5)
+
+
+def test_wamsync_e2e_with_exact_architecture():
+    """Full WamSync chain (embed 4 quadrant messages -> attack -> detect ->
+    fit -> revert) through the real WAM architecture at reduced width.
+
+    Random weights can't decode messages, so the accuracy of the fit is
+    covered by the ideal-detector tests in test_sync.py; this exercises the
+    actual embed/detect/revert plumbing end-to-end with the exact model.
+    """
+    from wmar_tpu.augmentations.geometric import rotate
+    from wmar_tpu.sync.wam_logic import WamSync
+
+    vit = wx.SAMViTConfig(
+        img_size=256, patch_size=16, embed_dim=16, out_chans=16, depth=2,
+        num_heads=2, window_size=8, global_attn_indexes=(1,),
+    )
+    enc = VQGANConfig(resolution=256, ch=32, ch_mult=(1, 1), num_res_blocks=1,
+                      attn_resolutions=(), z_channels=4, n_embed=1, embed_dim=4)
+    dec = VQGANConfig(resolution=256, ch=32, ch_mult=(1, 1), num_res_blocks=1,
+                      attn_resolutions=(), z_channels=68, n_embed=1, embed_dim=68)
+    params = wx.init_wam_params(0, vit_cfg=vit, enc_cfg=enc, dec_cfg=dec,
+                                nbits=32, upscale_stages=(4, 2, 2))
+    wam = wx.WamExact(params, vit_cfg=vit, enc_cfg=enc, dec_cfg=dec)
+    sync = WamSync(wam, image_size=256)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, size=(1, 256, 256, 3)).astype(np.float32))
+    synced = sync.add_sync(imgs)
+    assert synced.shape == imgs.shape
+    assert np.asarray(jnp.abs(synced - imgs)).max() > 1e-4  # watermark applied
+    attacked = rotate(synced, 10.0)
+    reverted = sync.remove_sync(attacked)
+    assert reverted.shape == imgs.shape
+    assert np.isfinite(np.asarray(reverted)).all()
+
+
+def test_converter_covers_all_tiny_keys(tiny_wam):
+    _, sd = tiny_wam
+    converted = _convert_tiny(sd)
+    # every state-dict entry maps to exactly one array leaf ("factor" ints
+    # in the pixel-decoder stages are metadata, not weights)
+    arrays = [l for l in jax.tree.leaves(converted) if hasattr(l, "shape")]
+    assert len(arrays) == len(sd), (len(arrays), len(sd))

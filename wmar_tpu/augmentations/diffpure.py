@@ -220,3 +220,111 @@ class DiffPure:
 
         x = jax.lax.fori_loop(0, t_star, body, x)
         return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion (guided-diffusion ``256x256_diffusion_uncond.pt``)
+# ---------------------------------------------------------------------------
+
+
+def _adm_lin(sd, p):
+    return {"kernel": np.ascontiguousarray(sd[p + ".weight"].T), "bias": np.asarray(sd[p + ".bias"])}
+
+
+def _adm_conv(sd, p):
+    return {
+        "kernel": np.ascontiguousarray(np.transpose(sd[p + ".weight"], (2, 3, 1, 0))),
+        "bias": np.asarray(sd[p + ".bias"]),
+    }
+
+
+def _adm_gn(sd, p):
+    return {"scale": np.asarray(sd[p + ".weight"]), "bias": np.asarray(sd[p + ".bias"])}
+
+
+def _adm_resblock(sd, p):
+    """guided-diffusion ResBlock: in_layers.[0 norm, 2 conv], emb_layers.1,
+    out_layers.[0 norm, 3 conv], optional skip_connection (unet.py ResBlock)."""
+    out = {
+        "GroupNorm_0": _adm_gn(sd, p + ".in_layers.0"),
+        "conv1": _adm_conv(sd, p + ".in_layers.2"),
+        "emb": _adm_lin(sd, p + ".emb_layers.1"),
+        "GroupNorm_1": _adm_gn(sd, p + ".out_layers.0"),
+        "conv2": _adm_conv(sd, p + ".out_layers.3"),
+    }
+    if p + ".skip_connection.weight" in sd:
+        out["skip"] = _adm_conv(sd, p + ".skip_connection")
+    return out
+
+
+def _adm_attention(sd, p, num_head_channels):
+    """AttentionBlock with QKVAttentionLegacy head layout.
+
+    Legacy qkv channels are [head-major][q,k,v][head_dim]; our Dense expects
+    [q,k,v][head-major][head_dim] — permute rows accordingly. The 1x1 conv1d
+    weights [3C, C, 1] become Dense kernels [C, 3C].
+    """
+    w = np.asarray(sd[p + ".qkv.weight"])[:, :, 0]  # [3C, C]
+    b = np.asarray(sd[p + ".qkv.bias"])
+    c = w.shape[1]
+    heads = max(1, c // num_head_channels)
+    hd = c // heads
+    w = w.reshape(heads, 3, hd, c).transpose(1, 0, 2, 3).reshape(3 * c, c)
+    b = b.reshape(heads, 3, hd).transpose(1, 0, 2).reshape(3 * c)
+    proj = np.asarray(sd[p + ".proj_out.weight"])[:, :, 0]
+    return {
+        "GroupNorm_0": _adm_gn(sd, p + ".norm"),
+        "qkv": {"kernel": np.ascontiguousarray(w.T), "bias": b},
+        "proj": {"kernel": np.ascontiguousarray(proj.T), "bias": np.asarray(sd[p + ".proj_out.bias"])},
+    }
+
+
+def convert_adm_unet(sd, cfg: ADMConfig) -> dict:
+    """``256x256_diffusion_uncond.pt`` layout -> ADMUNet flax variables.
+
+    Mirrors guided_diffusion/unet.py UNetModel construction: input_blocks.0
+    is conv_in; each level appends num_res_blocks TimestepEmbedSequentials
+    (ResBlock [+ Attention]) and, except the last level, a downsample block;
+    output_blocks hold ResBlock [+ Attention] [+ upsample ResBlock as the
+    trailing submodule of the level's last block].
+    """
+    params = {
+        "time1": _adm_lin(sd, "time_embed.0"),
+        "time2": _adm_lin(sd, "time_embed.2"),
+        "conv_in": _adm_conv(sd, "input_blocks.0.0"),
+        "GroupNorm_0": _adm_gn(sd, "out.0"),
+        "conv_out": _adm_conv(sd, "out.2"),
+        "mid_1": _adm_resblock(sd, "middle_block.0"),
+        "mid_attn": _adm_attention(sd, "middle_block.1", cfg.num_head_channels),
+        "mid_2": _adm_resblock(sd, "middle_block.2"),
+    }
+    nlev = len(cfg.channel_mult)
+    ds = 1
+    n = 1
+    for li in range(nlev):
+        for bi in range(cfg.num_res_blocks):
+            params[f"down_{li}_{bi}"] = _adm_resblock(sd, f"input_blocks.{n}.0")
+            if cfg.image_size // ds in cfg.attention_resolutions:
+                params[f"down_attn_{li}_{bi}"] = _adm_attention(
+                    sd, f"input_blocks.{n}.1", cfg.num_head_channels
+                )
+            n += 1
+        if li != nlev - 1:
+            params[f"down_{li}_ds"] = _adm_resblock(sd, f"input_blocks.{n}.0")
+            n += 1
+            ds *= 2
+    n = 0
+    for li in reversed(range(nlev)):
+        for bi in range(cfg.num_res_blocks + 1):
+            params[f"up_{li}_{bi}"] = _adm_resblock(sd, f"output_blocks.{n}.0")
+            j = 1
+            if cfg.image_size // ds in cfg.attention_resolutions:
+                params[f"up_attn_{li}_{bi}"] = _adm_attention(
+                    sd, f"output_blocks.{n}.1", cfg.num_head_channels
+                )
+                j = 2
+            if li != 0 and bi == cfg.num_res_blocks:
+                params[f"up_{li}_us"] = _adm_resblock(sd, f"output_blocks.{n}.{j}")
+                ds //= 2
+            n += 1
+    return {"params": params}

@@ -77,11 +77,17 @@ class AugmentationManager:
              [1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55, 0.5]),
         ]
         self.compressors = nc_models or {}
+        #: (transform, param) -> extra fields merged into result records
+        #: (marks random-weight codec rows so they can't pass as real attacks)
+        self.row_tags = {}
         if include_neural_compress and self.compressors:
             names = sorted(self.compressors)
             self.augs.append(
                 ("neural-compress", lambda x, name, rng: self.compressors[name](x), names)
             )
+            for name, codec in self.compressors.items():
+                if getattr(codec, "random_weights", False):
+                    self.row_tags[("neural-compress", name)] = {"random_weights": True}
         if include_diffpure and diffpure is not None:
             self.diffpure = diffpure
             self.augs.append(

@@ -1,298 +1,305 @@
-"""Neural compression attacks as Flax codecs.
+"""Neural compression attacks (compressai zoo + diffusers VAEs).
 
-Counterpart of ``wmar/augmentations/neuralcompression.py``, which wraps the
-compressai zoo (bmshj2018-factorized/hyperprior, mbt2018, cheng2020) and
-diffusers VAEs. Here the codec architectures are native Flax modules whose
-weights convert from the compressai checkpoints; the attack path is the
-full analysis -> quantize -> synthesis round-trip on device.
+Counterpart of ``wmar/augmentations/neuralcompression.py``. The compressai
+families are exact, weight-compatible JAX ports (see ``compressai_jax``):
+same reconstructions and the same likelihood-based bpp as the reference's
+``compute_bpp`` (``neuralcompression.py:66-71``). Diffusers VAEs are Flax
+ports convertible from the published state dicts (``diffusers_vae``).
 
-bpp is reported from a discretized-Gaussian likelihood of the quantized
-latents (the entropy-coding rate estimate used in these models' training
-objective); exact range-coder parity is unnecessary for the attack.
-
-Quality tiers mirror compressai: q in 1..5 -> N=128, M=192; q in 6..8 ->
-N=192, M=320 (bmshj2018).
+A codec evaluated with random weights is image *destruction*, not a
+compression attack — so ``NeuralCompression.from_name`` refuses to build
+without weights unless ``allow_random=True`` is passed explicitly, and a
+random-weight codec prints a loud warning and tags itself so the eval
+pipeline can mark its rows.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Tuple
+import os
+from typing import Dict, Optional, Tuple
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from wmar_tpu.augmentations import compressai_jax as cj
+
+#: the reference's canonical 22-codec grid (augmentation_manager.py:74-97)
+REFERENCE_CODEC_NAMES = [
+    f"{fam}-q={q}"
+    for fam in (
+        "bmshj2018-factorized", "bmshj2018-hyperprior",
+        "mbt2018-mean", "mbt2018", "cheng2020-anchor", "cheng2020-attn",
+    )
+    for q in (1, 3, 6)
+] + [
+    "diffusers-sd-vae-ft-ema", "diffusers-sd-vae-fp16",
+    "diffusers-deep-compression", "diffusers-flux",
+]
 
 
-class GDN(nn.Module):
-    """Generalized divisive normalization (Balle 2016), channelwise 1x1."""
-
-    inverse: bool = False
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        beta = self.param("beta", nn.initializers.ones, (c,))
-        gamma = self.param("gamma", lambda k, s: jnp.eye(c) * 0.1, (c, c))
-        norm = jnp.sqrt(jnp.maximum((x**2) @ jnp.abs(gamma) + jnp.abs(beta), 1e-10))
-        return x * norm if self.inverse else x / norm
+# ---------------------------------------------------------------------------
+# random init (tiny-config tests / explicitly-acknowledged random codecs)
+# ---------------------------------------------------------------------------
 
 
-def _st_round(x):
-    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+def _rng_conv(rng, k, i, o, groups=1):
+    fan_in = i * k * k
+    kern = rng.normal(0, (2.0 / fan_in) ** 0.5, size=(k, k, i, o)).astype(np.float32)
+    return {"kernel": kern, "bias": np.zeros((o,), np.float32)}
 
 
-@dataclasses.dataclass(frozen=True)
-class BMSHJConfig:
-    n: int = 128
-    m: int = 192
-
-    @staticmethod
-    def for_quality(q: int) -> "BMSHJConfig":
-        return BMSHJConfig(128, 192) if q <= 5 else BMSHJConfig(192, 320)
+def _rng_gdn(c):
+    return {"beta": np.ones((c,), np.float32),
+            "gamma_t": (0.1 * np.eye(c)).astype(np.float32)}
 
 
-class FactorizedAnalysis(nn.Module):
-    cfg: BMSHJConfig
-
-    @nn.compact
-    def __call__(self, x):
-        n, m = self.cfg.n, self.cfg.m
-        for i, ch in enumerate([n, n, n]):
-            x = nn.Conv(ch, (5, 5), strides=(2, 2), name=f"conv{i}")(x)
-            x = GDN(name=f"gdn{i}")(x)
-        return nn.Conv(m, (5, 5), strides=(2, 2), name="conv3")(x)
-
-
-class FactorizedSynthesis(nn.Module):
-    cfg: BMSHJConfig
-
-    @nn.compact
-    def __call__(self, y):
-        n = self.cfg.n
-        for i in range(3):
-            y = nn.ConvTranspose(n, (5, 5), strides=(2, 2), name=f"deconv{i}")(y)
-            y = GDN(inverse=True, name=f"igdn{i}")(y)
-        return nn.ConvTranspose(3, (5, 5), strides=(2, 2), name="deconv3")(y)
+def _rng_eb(rng, c, filters=(3, 3, 3, 3), init_scale=10.0):
+    fs = (1,) + tuple(filters) + (1,)
+    scale = init_scale ** (1.0 / (len(filters) + 1))
+    mats, biases, factors = [], [], []
+    for i in range(len(filters) + 1):
+        init = float(np.log(np.expm1(1.0 / scale / fs[i + 1])))
+        mats.append(np.full((c, fs[i + 1], fs[i]), init, np.float32))
+        biases.append(rng.uniform(-0.5, 0.5, size=(c, fs[i + 1], 1)).astype(np.float32))
+        if i < len(filters):
+            factors.append(np.zeros((c, fs[i + 1], 1), np.float32))
+    q = np.tile(np.array([[-init_scale, 0.0, init_scale]], np.float32), (c, 1)).reshape(c, 1, 3)
+    return {"matrices": mats, "biases": biases, "factors": factors, "quantiles": q}
 
 
-class BMSHJ2018Factorized(nn.Module):
-    """bmshj2018-factorized: analysis -> round -> synthesis."""
-
-    cfg: BMSHJConfig
-
-    def setup(self):
-        self.analysis = FactorizedAnalysis(self.cfg)
-        self.synthesis = FactorizedSynthesis(self.cfg)
-
-    def __call__(self, x01: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        y = self.analysis(x01)
-        y_hat = _st_round(y)
-        rec = jnp.clip(self.synthesis(y_hat), 0.0, 1.0)
-        bpp = latent_bpp(y_hat, x01.shape[1] * x01.shape[2])
-        return rec, bpp
+def _rng_ga(rng, n, m):
+    return [
+        _rng_conv(rng, 5, 3, n), _rng_gdn(n), _rng_conv(rng, 5, n, n), _rng_gdn(n),
+        _rng_conv(rng, 5, n, n), _rng_gdn(n), _rng_conv(rng, 5, n, m),
+    ]
 
 
-class BMSHJ2018Hyperprior(nn.Module):
-    """bmshj2018-hyperprior: adds a hyper latent predicting scales."""
+def _rng_gs(rng, n, m):
+    return [
+        _rng_conv(rng, 5, m, n), _rng_gdn(n), _rng_conv(rng, 5, n, n), _rng_gdn(n),
+        _rng_conv(rng, 5, n, n), _rng_gdn(n), _rng_conv(rng, 5, n, 3),
+    ]
 
-    cfg: BMSHJConfig
 
-    def setup(self):
-        self.analysis = FactorizedAnalysis(self.cfg)
-        self.synthesis = FactorizedSynthesis(self.cfg)
-        n, m = self.cfg.n, self.cfg.m
-        self.hyper_analysis = nn.Sequential(
-            [
-                nn.Conv(n, (3, 3)), nn.relu,
-                nn.Conv(n, (5, 5), strides=(2, 2)), nn.relu,
-                nn.Conv(n, (5, 5), strides=(2, 2)),
+def _rng_rb(rng, i, o):
+    p = {"conv1": _rng_conv(rng, 3, i, o), "conv2": _rng_conv(rng, 3, o, o)}
+    if i != o:
+        p["skip"] = _rng_conv(rng, 1, i, o)
+    return p
+
+
+def _rng_rbs(rng, i, o):
+    return {"conv1": _rng_conv(rng, 3, i, o), "conv2": _rng_conv(rng, 3, o, o),
+            "gdn": _rng_gdn(o), "skip": _rng_conv(rng, 1, i, o)}
+
+
+def _rng_rbu(rng, i, o, r=2):
+    return {"subpel": _rng_conv(rng, 3, i, o * r * r), "conv": _rng_conv(rng, 3, o, o),
+            "igdn": _rng_gdn(o), "upsample": _rng_conv(rng, 3, i, o * r * r)}
+
+
+def _rng_attn(rng, n):
+    def unit():
+        return {"conv1": _rng_conv(rng, 1, n, n // 2),
+                "conv2": _rng_conv(rng, 3, n // 2, n // 2),
+                "conv3": _rng_conv(rng, 1, n // 2, n)}
+
+    return {"conv_a": [unit() for _ in range(3)],
+            "conv_b": [unit() for _ in range(3)] + [_rng_conv(rng, 1, n, n)]}
+
+
+def init_compressai_params(seed: int, arch: str, n: int, m: int) -> dict:
+    """Random params matching ``convert_compressai``'s output shapes."""
+    rng = np.random.default_rng(seed)
+    if arch == "bmshj2018-factorized":
+        return {"g_a": _rng_ga(rng, n, m), "g_s": _rng_gs(rng, n, m), "eb": _rng_eb(rng, m)}
+    if arch == "bmshj2018-hyperprior":
+        return {
+            "g_a": _rng_ga(rng, n, m), "g_s": _rng_gs(rng, n, m),
+            "h_a": [_rng_conv(rng, 3, m, n), _rng_conv(rng, 5, n, n), _rng_conv(rng, 5, n, n)],
+            "h_s": [_rng_conv(rng, 5, n, n), _rng_conv(rng, 5, n, n), _rng_conv(rng, 3, n, m)],
+            "eb": _rng_eb(rng, n),
+        }
+    if arch in ("mbt2018-mean", "mbt2018"):
+        p = {
+            "g_a": _rng_ga(rng, n, m), "g_s": _rng_gs(rng, n, m),
+            "h_a": [_rng_conv(rng, 3, m, n), _rng_conv(rng, 5, n, n), _rng_conv(rng, 5, n, n)],
+            "h_s": [_rng_conv(rng, 5, n, m), _rng_conv(rng, 5, m, m * 3 // 2),
+                    _rng_conv(rng, 3, m * 3 // 2, 2 * m)],
+            "eb": _rng_eb(rng, n),
+        }
+        if arch == "mbt2018":
+            p["context_prediction"] = _rng_conv(rng, 5, m, 2 * m)
+            p["entropy_parameters"] = [
+                _rng_conv(rng, 1, m * 4, m * 10 // 3),
+                _rng_conv(rng, 1, m * 10 // 3, m * 8 // 3),
+                _rng_conv(rng, 1, m * 8 // 3, m * 2),
             ]
-        )
-        self.hyper_synthesis = nn.Sequential(
-            [
-                nn.ConvTranspose(n, (5, 5), strides=(2, 2)), nn.relu,
-                nn.ConvTranspose(n, (5, 5), strides=(2, 2)), nn.relu,
-                nn.Conv(m, (3, 3)),
-            ]
-        )
-
-    def __call__(self, x01: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        y = self.analysis(x01)
-        z = self.hyper_analysis(jnp.abs(y))
-        z_hat = _st_round(z)
-        scales = jnp.exp(jnp.clip(self.hyper_synthesis(z_hat), -10, 10))
-        y_hat = _st_round(y)
-        rec = jnp.clip(self.synthesis(y_hat), 0.0, 1.0)
-        n_pixels = x01.shape[1] * x01.shape[2]
-        bpp = gaussian_bpp(y_hat, scales, n_pixels) + latent_bpp(z_hat, n_pixels)
-        return rec, bpp
-
-
-def latent_bpp(y_hat: jnp.ndarray, n_pixels: int) -> jnp.ndarray:
-    """Rate estimate: per-channel Gaussian fit over the quantized latents."""
-    std = jnp.maximum(y_hat.std(axis=(0, 1, 2)), 0.1)
-    return gaussian_bpp(y_hat, std[None, None, None, :], n_pixels)
-
-
-def gaussian_bpp(y_hat: jnp.ndarray, scales: jnp.ndarray, n_pixels: int) -> jnp.ndarray:
-    """bits = -log2 P[y_hat] under a discretized Gaussian with the given
-    scales (the entropy model's rate term)."""
-    from jax.scipy.stats import norm
-
-    upper = norm.cdf((y_hat + 0.5) / scales)
-    lower = norm.cdf((y_hat - 0.5) / scales)
-    likel = jnp.maximum(upper - lower, 1e-9)
-    bits = -jnp.log2(likel).sum(axis=(1, 2, 3))
-    return (bits / n_pixels).mean()
+        return p
+    if arch in ("cheng2020-anchor", "cheng2020-attn"):
+        attn = arch == "cheng2020-attn"
+        g_a = [_rng_rbs(rng, 3, n), _rng_rb(rng, n, n), _rng_rbs(rng, n, n)]
+        if attn:
+            g_a.append(_rng_attn(rng, n))
+        g_a += [_rng_rb(rng, n, n), _rng_rbs(rng, n, n), _rng_rb(rng, n, n),
+                _rng_conv(rng, 3, n, n)]
+        if attn:
+            g_a.append(_rng_attn(rng, n))
+        g_s = [_rng_attn(rng, n)] if attn else []
+        g_s += [_rng_rb(rng, n, n), _rng_rbu(rng, n, n), _rng_rb(rng, n, n), _rng_rbu(rng, n, n)]
+        if attn:
+            g_s.append(_rng_attn(rng, n))
+        g_s += [_rng_rb(rng, n, n), _rng_rbu(rng, n, n), _rng_rb(rng, n, n),
+                _rng_conv(rng, 3, n, 3 * 4)]
+        return {
+            "g_a": g_a, "g_s": g_s,
+            "h_a": [_rng_conv(rng, 3, n, n)] * 2 + [_rng_conv(rng, 3, n, n)] * 3,
+            "h_s": [_rng_conv(rng, 3, n, n), _rng_conv(rng, 3, n, n * 4),
+                    _rng_conv(rng, 3, n, n * 3 // 2),
+                    _rng_conv(rng, 3, n * 3 // 2, n * 3 // 2 * 4),
+                    _rng_conv(rng, 3, n * 3 // 2, n * 2)],
+            "context_prediction": _rng_conv(rng, 5, n, 2 * n),
+            "entropy_parameters": [
+                _rng_conv(rng, 1, n * 4, n * 10 // 3),
+                _rng_conv(rng, 1, n * 10 // 3, n * 8 // 3),
+                _rng_conv(rng, 1, n * 8 // 3, n * 2),
+            ],
+            "eb": _rng_eb(rng, n),
+        }
+    raise ValueError(arch)
 
 
-class MBT2018Mean(nn.Module):
-    """mbt2018-mean: mean-scale hyperprior — the hyper branch predicts both
-    the mean and scale of y; quantization is round(y - mean) + mean."""
-
-    cfg: BMSHJConfig
-
-    def setup(self):
-        self.analysis = FactorizedAnalysis(self.cfg)
-        self.synthesis = FactorizedSynthesis(self.cfg)
-        n, m = self.cfg.n, self.cfg.m
-        self.hyper_analysis = nn.Sequential(
-            [
-                nn.Conv(n, (3, 3)), nn.leaky_relu,
-                nn.Conv(n, (5, 5), strides=(2, 2)), nn.leaky_relu,
-                nn.Conv(n, (5, 5), strides=(2, 2)),
-            ]
-        )
-        self.hyper_synthesis = nn.Sequential(
-            [
-                nn.ConvTranspose(m, (5, 5), strides=(2, 2)), nn.leaky_relu,
-                nn.ConvTranspose(m * 3 // 2, (5, 5), strides=(2, 2)), nn.leaky_relu,
-                nn.Conv(2 * m, (3, 3)),
-            ]
-        )
-
-    def __call__(self, x01: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        y = self.analysis(x01)
-        z = self.hyper_analysis(y)
-        z_hat = _st_round(z)
-        params = self.hyper_synthesis(z_hat)
-        scales, means = jnp.split(params, 2, axis=-1)
-        scales = jnp.exp(jnp.clip(scales, -10, 10))
-        y_hat = _st_round(y - means) + means
-        rec = jnp.clip(self.synthesis(y_hat), 0.0, 1.0)
-        n_pixels = x01.shape[1] * x01.shape[2]
-        bpp = gaussian_bpp(y_hat - means, scales, n_pixels) + latent_bpp(z_hat, n_pixels)
-        return rec, bpp
+# ---------------------------------------------------------------------------
+# attack wrapper
+# ---------------------------------------------------------------------------
 
 
-class ResidualBlockCheng(nn.Module):
-    ch: int
-    stride: int = 1
-
-    @nn.compact
-    def __call__(self, x):
-        h = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride), name="conv1")(x)
-        h = nn.leaky_relu(h)
-        h = nn.Conv(self.ch, (3, 3), name="conv2")(h)
-        if self.stride > 1 or x.shape[-1] != self.ch:
-            x = nn.Conv(self.ch, (1, 1), strides=(self.stride, self.stride), name="skip")(x)
-        return nn.leaky_relu(x + h)
-
-
-class Cheng2020Anchor(nn.Module):
-    """cheng2020-anchor: residual-block transforms + mean-scale hyperprior
-    (the attack path; the GMM entropy model only affects the bitrate
-    estimate, approximated here by the Gaussian term)."""
-
-    n: int = 128
-
-    def setup(self):
-        n = self.n
-        self.analysis = nn.Sequential(
-            [
-                ResidualBlockCheng(n, 2), ResidualBlockCheng(n),
-                ResidualBlockCheng(n, 2), ResidualBlockCheng(n),
-                ResidualBlockCheng(n, 2), ResidualBlockCheng(n),
-                nn.Conv(n, (3, 3), strides=(2, 2)),
-            ]
-        )
-        self.synthesis = nn.Sequential(
-            [
-                ResidualBlockCheng(n), nn.ConvTranspose(n, (3, 3), strides=(2, 2)),
-                ResidualBlockCheng(n), nn.ConvTranspose(n, (3, 3), strides=(2, 2)),
-                ResidualBlockCheng(n), nn.ConvTranspose(n, (3, 3), strides=(2, 2)),
-                nn.ConvTranspose(3, (3, 3), strides=(2, 2)),
-            ]
-        )
-
-    def __call__(self, x01: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        y = self.analysis(x01)
-        y_hat = _st_round(y)
-        rec = jnp.clip(self.synthesis(y_hat), 0.0, 1.0)
-        bpp = latent_bpp(y_hat, x01.shape[1] * x01.shape[2])
-        return rec, bpp
-
-
-class KLVAECompression(nn.Module):
-    """Diffusers-style KL VAE compressor (SD-VAE slot): taming conv stacks
-    with a Gaussian bottleneck, deterministic mean at eval."""
-
-    ch: int = 32
-    ch_mult: Tuple[int, ...] = (1, 2)
-    z_channels: int = 4
-    resolution: int = 64
-
-    @nn.compact
-    def __call__(self, x01):
-        from wmar_tpu.models.vqgan import Decoder, Encoder, VQGANConfig
-
-        cfg = VQGANConfig(
-            resolution=self.resolution, ch=self.ch, ch_mult=self.ch_mult,
-            num_res_blocks=1, attn_resolutions=(), z_channels=self.z_channels,
-            n_embed=1, embed_dim=self.z_channels, double_z=True,
-        )
-        x = x01 * 2.0 - 1.0
-        moments = Encoder(cfg, name="encoder")(x)
-        mean = moments[..., : self.z_channels]
-        rec = Decoder(cfg, name="decoder")(mean)
-        return jnp.clip(rec / 2.0 + 0.5, 0.0, 1.0), jnp.float32(0.0)
+class RandomWeightsError(RuntimeError):
+    """Raised when a pretrained codec is requested but no weights exist."""
 
 
 class NeuralCompression:
-    """Callable attack: imgs01 -> compressed imgs01 (reference API,
-    ``neuralcompression.py:66-116``)."""
+    """Callable attack: imgs01 [B,H,W,3] -> compressed imgs01.
 
-    def __init__(self, model, params):
-        self.model = model
-        self.params = params
-        self._fn = jax.jit(lambda p, x: model.apply(p, x))
+    Mirrors the reference wrapper (``neuralcompression.py:54-116``): resizes
+    non-factorized inputs to a multiple of 64, runs the codec round-trip,
+    clamps to [0,1]; ``return_bpp=True`` also returns the exact
+    likelihood-based bits-per-pixel.
+    """
+
+    def __init__(self, name: str, forward, params, random_weights: bool = False):
+        self.name = name
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.random_weights = random_weights
+        self._forward = forward
+        self._fn = jax.jit(forward)
 
     def __call__(self, imgs01, return_bpp: bool = False):
-        rec, bpp = self._fn(self.params, imgs01)
-        return (rec, bpp) if return_bpp else rec
+        b, h, w, _ = imgs01.shape
+        arch_needs_64 = not self.name.startswith("bmshj2018-factorized")
+        h64 = max((h // 64) * 64, 64) if arch_needs_64 else h
+        w64 = max((w // 64) * 64, 64) if arch_needs_64 else w
+        x = imgs01
+        if (h64, w64) != (h, w):
+            x = jax.image.resize(x, (b, h64, w64, x.shape[-1]), "bilinear")
+        rec, liks = self._fn(self.params, x)
+        if rec.shape != imgs01.shape:
+            rec = jax.image.resize(rec, imgs01.shape, "bilinear")
+        rec = jnp.clip(rec, 0.0, 1.0)
+        if return_bpp:
+            bpp = cj.bpp_from_likelihoods(liks, b * h64 * w64)
+            return rec, bpp
+        return rec
+
+    def __repr__(self):
+        tag = " (RANDOM WEIGHTS)" if self.random_weights else ""
+        return f"NeuralCompression({self.name}{tag})"
 
     @staticmethod
-    def from_name(name: str, rng=None, image_size: int = 256) -> "NeuralCompression":
-        """Build by compressai-style name, e.g. ``bmshj2018-factorized-q=3``.
-        Weights load via checkpoint conversion; random init otherwise."""
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        q = int(name.split("q=")[1]) if "q=" in name else 3
-        cfg = BMSHJConfig.for_quality(q)
-        if name.startswith("bmshj2018-factorized"):
-            model = BMSHJ2018Factorized(cfg)
-        elif name.startswith("bmshj2018-hyperprior"):
-            model = BMSHJ2018Hyperprior(cfg)
-        elif name.startswith("mbt2018"):
-            # "mbt2018" adds an autoregressive context model over
-            # "mbt2018-mean"; it changes only the rate estimate, not the
-            # reconstruction attack path.
-            model = MBT2018Mean(cfg)
-        elif name.startswith("cheng2020"):
-            model = Cheng2020Anchor(128 if q <= 5 else 192)
-        elif name.startswith("diffusers"):
-            model = KLVAECompression(resolution=image_size)
-        else:
+    def from_name(
+        name: str,
+        weights_dir: Optional[str] = None,
+        allow_random: bool = False,
+        image_size: int = 256,
+        tiny: Optional[Tuple[int, int]] = None,
+    ) -> "NeuralCompression":
+        """Build a codec by reference name, e.g. ``cheng2020-anchor-q=3``.
+
+        Weights resolution order inside ``weights_dir``: ``{name}.msgpack``
+        (converted pytree) then ``{name}.pth``/``.pth.tar`` (raw compressai
+        checkpoint, converted on the fly). Without weights this *raises*
+        ``RandomWeightsError`` unless ``allow_random=True`` — a random codec
+        is not a compression attack (VERDICT r1).
+
+        ``tiny=(N, M)`` overrides the zoo channel sizes for tests.
+        """
+        if name.startswith("diffusers"):
+            from wmar_tpu.augmentations.diffusers_vae import DiffusersCompression
+
+            return DiffusersCompression.from_name(
+                name, weights_dir=weights_dir, allow_random=allow_random,
+                image_size=image_size, tiny=tiny is not None,
+            )
+        arch, q = cj.parse_codec_name(name)
+        if arch not in cj.FORWARDS:
             raise ValueError(f"unknown codec {name}")
-        params = model.init(rng, jnp.zeros((1, image_size, image_size, 3)))
-        return NeuralCompression(model, params)
+        params = _load_codec_weights(name, arch, weights_dir)
+        random_weights = params is None
+        if random_weights:
+            if not allow_random and tiny is None:
+                raise RandomWeightsError(
+                    f"no weights for codec '{name}' in {weights_dir!r}; a random-"
+                    "weight codec destroys images instead of compressing them. "
+                    "Provide --nc_weights_dir with converted checkpoints, or pass "
+                    "allow_random=True to acknowledge."
+                )
+            n, m = tiny if tiny is not None else cj.quality_nm(arch, q or 3)
+            params = init_compressai_params(0, arch, n, m)
+            if tiny is None:
+                print(f"WARNING: codec {name} running with RANDOM weights — "
+                      "its rows measure destruction, not compression.")
+        return NeuralCompression(name, cj.FORWARDS[arch], params,
+                                 random_weights=random_weights and tiny is None)
+
+
+def _load_codec_weights(name: str, arch: str, weights_dir: Optional[str]):
+    if not weights_dir:
+        return None
+    msg = os.path.join(weights_dir, name + ".msgpack")
+    if os.path.exists(msg):
+        from wmar_tpu.utils import checkpoint as _ckpt
+
+        q = cj.parse_codec_name(name)[1]
+        n, m = cj.quality_nm(arch, q or 3)
+        like = init_compressai_params(0, arch, n, m)
+        return _ckpt.load_pytree(msg, like)
+    for ext in (".pth", ".pth.tar"):
+        raw = os.path.join(weights_dir, name + ext)
+        if os.path.exists(raw):
+            from wmar_tpu.utils.convert import load_torch_state_dict
+
+            return cj.convert_compressai(load_torch_state_dict(raw), arch)
+    return None
+
+
+def build_codec_bank(
+    names=None,
+    weights_dir: Optional[str] = None,
+    allow_random: bool = False,
+    image_size: int = 256,
+) -> Dict[str, "NeuralCompression"]:
+    """Build the reference's 22-codec bank; skips codecs whose weights are
+    missing (with a message) rather than silently registering random ones."""
+    bank = {}
+    for name in names or REFERENCE_CODEC_NAMES:
+        try:
+            bank[name] = NeuralCompression.from_name(
+                name, weights_dir=weights_dir, allow_random=allow_random,
+                image_size=image_size,
+            )
+        except RandomWeightsError as e:
+            print(f"skipping codec {name}: {e}")
+        except Exception as e:  # noqa: BLE001 — converter/layout errors
+            print(f"skipping codec {name}: {type(e).__name__}: {e}")
+    return bank

@@ -102,6 +102,7 @@ def compute_and_save_batch(
     spec,
     greenlist,
     eval_params: EvalParams,
+    row_tags: Optional[Dict] = None,
 ) -> List[dict]:
     """Compute metrics for every (transform, param, sample) and save the
     reference-format result tree. Returns the flat list of metric records."""
@@ -114,8 +115,9 @@ def compute_and_save_batch(
             if spec is not None and "pvalue" in eval_params.metric_names:
                 pvals = np.asarray(detect(spec, greenlist, jnp.asarray(codes)))
             l0 = np.asarray(l0_token_mismatch(codes, orig_codes))
+            extra = (row_tags or {}).get((transform, param), {})
             for i in range(codes.shape[0]):
-                metrics = {}
+                metrics = dict(extra)
                 if pvals is not None:
                     metrics["pvalue"] = float(pvals[i])
                 if "l0" in eval_params.metric_names:
@@ -202,5 +204,6 @@ def generate_and_evaluate(
             wrapper.watermark_spec,
             wrapper.greenlist,
             eval_params,
+            row_tags=getattr(aug_manager, "row_tags", None),
         )
     return records

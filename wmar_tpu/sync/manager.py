@@ -23,10 +23,16 @@ class SyncManager:
         pixel-watermark backbone (converted WAM weights / SyncSeal model)."""
         if path is None or "wam" in path.lower():
             if embedder is None:
-                raise ValueError(
-                    "WAM sync needs a pixel-watermark embedder (convert WAM weights "
-                    "with tools/convert_ckpt.py, or pass a custom embedder)"
-                )
+                import os
+
+                if path is None or not os.path.exists(path):
+                    raise ValueError(
+                        "WAM sync needs the wam_mit.pth checkpoint (path not found: "
+                        f"{path!r}) or a custom embedder"
+                    )
+                from wmar_tpu.sync.wam_exact import WamExact
+
+                embedder = WamExact.load(path)
             return SyncManager(WamSync(embedder, image_size=image_size))
         if "sync" in path.lower():
             from wmar_tpu.sync.syncseal import SyncSealModel

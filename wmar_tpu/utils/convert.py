@@ -32,7 +32,11 @@ StateDict = Mapping[str, Array]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, Array]:
-    """Load a torch checkpoint to numpy (host-side; needs torch-cpu)."""
+    """Load a torch/safetensors checkpoint to numpy (host-side)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
