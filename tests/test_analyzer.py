@@ -83,3 +83,56 @@ def test_roc_points():
     fpr, tpr, auc = roc_points(wm, null)
     assert 0.9 <= auc <= 1.0
     assert tpr[0] <= tpr[-1] and fpr[-1] == 1.0
+
+
+def test_cached_parallel_walk(tmp_path):
+    """load_records caches; a second call with unchanged tree hits the cache
+    and returns identical records."""
+    import json as _json
+    import os as _os
+
+    from wmar_tpu.eval.analyzer import load_records
+
+    d = tmp_path / "c=0,idx=1"
+    d.mkdir()
+    for i, name in enumerate(["0001_m_roundtrips_0.json", "0001_m_jpeg_25.json"]):
+        with open(d / name, "w") as f:
+            _json.dump({"pvalue": 0.001 * (i + 1), "l0": 0.1}, f)
+    recs1 = load_records(str(tmp_path))
+    assert _os.path.exists(tmp_path / ".analyzer_cache.json")
+    recs2 = load_records(str(tmp_path))
+    assert [r.__dict__ for r in recs1] == [r.__dict__ for r in recs2]
+    assert len(recs1) == 2
+
+
+def test_write_report_end_to_end(tmp_path):
+    import json as _json
+
+    import numpy as np
+
+    from wmar_tpu.eval.analyzer import write_report
+
+    rng = np.random.default_rng(0)
+    for idx in range(1, 9):
+        d = tmp_path / f"c=0,idx={idx}"
+        d.mkdir()
+        rows = {
+            f"{idx:04}_wm_roundtrips_0.json": {"pvalue": float(rng.uniform(0, 1e-4)), "l0": 0.05},
+            f"{idx:04}_wm_roundtrips_1.json": {"pvalue": float(rng.uniform(0, 1e-3)), "l0": 0.1},
+            f"{idx:04}_wm_jpeg_25.json": {"pvalue": float(rng.uniform(0, 0.2)), "l0": 0.3},
+            f"{idx:04}_wm_neural-compress_bmshj2018-factorized-q=3.json": {
+                "pvalue": float(rng.uniform(0, 0.3)), "l0": 0.4, "bpp": 0.5 + 0.01 * idx},
+            f"{idx:04}_wm_neural-compress_bmshj2018-factorized-q=6.json": {
+                "pvalue": float(rng.uniform(0, 0.1)), "l0": 0.2, "bpp": 1.2},
+        }
+        for name, metrics in rows.items():
+            with open(d / name, "w") as f:
+                _json.dump(metrics, f)
+    path = write_report(str(tmp_path))
+    report = open(path).read()
+    assert "TPR@1%FPR" in report and "tabular" in report
+    import os as _os
+
+    rd = _os.path.dirname(path)
+    for fig in ["roc.png", "token_match_hist.png", "robustness.png", "tpr_vs_bpp.png"]:
+        assert _os.path.exists(_os.path.join(rd, fig)), fig

@@ -97,3 +97,52 @@ def test_sisnr_metric():
     assert sisnr(x, x) > 80  # identical -> huge SNR
     assert sisnr(2 * x, x) > 80  # scale-invariant
     assert sisnr(np.random.default_rng(0).normal(size=1000), x) < 5
+
+
+def test_stoi_metric():
+    from wmar_tpu.utils.metrics import stoi
+
+    rng_np = np.random.default_rng(0)
+    t = np.arange(24000 * 2) / 24000
+    # speech-band modulated tone (STOI needs non-silent, structured signal)
+    x = (np.sin(2 * np.pi * 400 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t))).astype(np.float32)
+    assert stoi(x, x, fs=24000) > 0.99  # identical -> ~1
+    noisy = x + 0.8 * rng_np.normal(size=x.shape).astype(np.float32)
+    mid = stoi(noisy, x, fs=24000)
+    assert 0.0 < mid < 0.95
+    garbage = rng_np.normal(size=x.shape).astype(np.float32)
+    assert stoi(garbage, x, fs=24000) < mid
+
+
+def test_new_aug_families(rng):
+    audio = jnp.asarray(rng.uniform(-1, 1, size=(2, 512, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    boosted = A.boost_audio(audio, 50)
+    np.testing.assert_allclose(np.asarray(boosted), np.asarray(audio) * 1.5, atol=1e-6)
+    ducked = A.duck_audio(audio, 90)
+    np.testing.assert_allclose(np.asarray(ducked), np.asarray(audio) * 0.1, atol=1e-6)
+    res = A.updown_resample(audio, 12000, sample_rate=24000)
+    assert res.shape == audio.shape
+    assert not np.allclose(np.asarray(res), np.asarray(audio), atol=1e-3)  # lowpassed
+    cropped = A.temporal_crop(audio, 0.5, key)
+    assert cropped.shape == audio.shape
+    nz = (np.abs(np.asarray(cropped)) > 0).mean()
+    assert 0.4 < nz < 0.6  # ~half kept
+
+
+def test_mp3_slot_is_gated():
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="host encoder bridge"):
+        A.MP3Compression()
+
+
+def test_mimi_compression_attack(rng):
+    model = Mimi(TINY)
+    audio0 = jnp.zeros((1, TINY.hop_length * 8, 1))
+    variables = model.init(jax.random.PRNGKey(0), audio0)
+    codec = A.MimiCompression(model, variables)
+    audio = jnp.asarray(rng.uniform(-0.5, 0.5, size=(1, TINY.hop_length * 8, 1)).astype(np.float32))
+    out = codec(audio)
+    assert out.shape[0] == 1 and out.shape[-1] == 1
+    assert np.isfinite(np.asarray(out)).all()

@@ -156,3 +156,65 @@ def test_clustering_greenlist():
     mask = np.asarray(gl.green_mask(jnp.array([0], dtype=jnp.int32)))[0]
     # roughly half of alive + half of dead
     assert 0.3 < mask.mean() < 0.7
+
+
+def test_fixed_greenlist_is_not_an_id_prefix():
+    """Regression: a broadcasting bug scalarized the fixed-split hash scores,
+    silently making the FIXED greenlist ids [0..gamma*V) (round 2 find)."""
+    import numpy as np
+
+    from wmar_tpu.core import HashGreenlist, WatermarkSpec
+    from wmar_tpu.core.spec import SeedStrategy, SplitStrategy
+
+    spec = WatermarkSpec(vocab_size=256, seed_strategy=SeedStrategy.FIXED,
+                         split_strategy=SplitStrategy.RANDOM, context_size=0,
+                         delta=2.0, gamma=0.25)
+    mask = np.asarray(HashGreenlist(spec)._fixed_mask)
+    assert mask.sum() == spec.greenlist_size
+    prefix = np.zeros(256, bool)
+    prefix[: spec.greenlist_size] = True
+    assert not np.array_equal(mask, prefix), "fixed greenlist is an id prefix"
+    # and it must depend on the salt
+    spec2 = WatermarkSpec(vocab_size=256, seed_strategy=SeedStrategy.FIXED,
+                          split_strategy=SplitStrategy.RANDOM, context_size=0,
+                          delta=2.0, gamma=0.25, salt_key=12345)
+    mask2 = np.asarray(HashGreenlist(spec2)._fixed_mask)
+    assert not np.array_equal(mask, mask2)
+
+
+def test_lazy_torch_compat_matches_dense_table():
+    """LazyTorchCompatGreenlist.detect_host == device detect over the dense
+    torch-compat table, and huge tables fail fast with a clear message."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+
+    from wmar_tpu.core import WatermarkSpec
+    from wmar_tpu.core.detect import detect
+    from wmar_tpu.core.greenlist import (
+        LazyTorchCompatGreenlist,
+        build_table_torch_compat,
+    )
+    from wmar_tpu.core.spec import SeedStrategy, SplitStrategy
+
+    spec = WatermarkSpec(vocab_size=64, seed_strategy=SeedStrategy.LINEAR,
+                         split_strategy=SplitStrategy.RANDOM, context_size=1,
+                         delta=2.0, gamma=0.25)
+    dense = build_table_torch_compat(spec)
+    lazy = LazyTorchCompatGreenlist(spec, maxsize=16)
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 64, size=(3, 40)).astype(np.int32))
+    p_dense = np.asarray(detect(spec, dense, codes))
+    p_lazy = lazy.detect_host(np.asarray(codes))
+    np.testing.assert_allclose(p_lazy, p_dense, rtol=1e-3, atol=1e-5)
+    assert len(lazy._rows) <= 16  # LRU bound held
+
+    big = WatermarkSpec(vocab_size=65536, seed_strategy=SeedStrategy.LINEAR,
+                        split_strategy=SplitStrategy.RANDOM, context_size=1,
+                        delta=2.0, gamma=0.25)
+    with _pytest.raises(ValueError, match="LazyTorchCompatGreenlist"):
+        build_table_torch_compat(big)
+    # the lazy source itself works at 65k vocab
+    lazy_big = LazyTorchCompatGreenlist(big, maxsize=8)
+    p = lazy_big.detect_host(np.asarray(rng.integers(0, 65536, size=(1, 16))))
+    assert 0.0 <= float(p[0]) <= 1.0

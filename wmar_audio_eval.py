@@ -101,10 +101,20 @@ def main(argv=None):
 
     fixed_hashes = window_hash(jnp.zeros((args.steps, 0), jnp.int32), args.wm_seed)
     records = []
+    from wmar_tpu.utils.metrics import pesq_metric, sisnr, stoi
+
     for name, fn, params in augs:
         for param in params:
             attacked = fn(pcm, param, jax.random.fold_in(jax.random.PRNGKey(args.seed), hash(name) % 2**31))
             re_codes = mimi.apply(mimi_params, attacked, method=Mimi.encode)
+            quality = [
+                {
+                    "sisnr": sisnr(attacked[b, : pcm.shape[1]], pcm[b]),
+                    "stoi": stoi(attacked[b, : pcm.shape[1]], pcm[b], fs=24000),
+                    "pesq": pesq_metric(attacked[b, : pcm.shape[1]], pcm[b], fs=24000),
+                }
+                for b in range(args.batch_size)
+            ]
             for b in range(args.batch_size):
                 for s in range(min(moshi_cfg.n_audio_streams, re_codes.shape[1])):
                     hashes_s = fixed_hashes[: re_codes.shape[2]]
@@ -122,7 +132,7 @@ def main(argv=None):
                     tm = float((re_codes[b, s] == audio_codes[b, s][: re_codes.shape[2]]).mean())
                     records.append({
                         "aug": name, "param": param, "batch": b, "stream": s,
-                        "pvalue": pval, "token_match": tm,
+                        "pvalue": pval, "token_match": tm, **quality[b],
                     })
         print(f"aug {name} done")
 

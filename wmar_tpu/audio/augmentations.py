@@ -98,16 +98,123 @@ def time_shift(audio, shift_frac: float, rng=None):
     return jnp.roll(audio, s, axis=1)
 
 
-def get_validation_augs() -> List[Tuple[str, object, List[float]]]:
-    """The audio eval grid (subset of ``training/augmentations.py:629``)."""
-    return [
+def boost_audio(audio, amount_pct: float, rng=None):
+    """Boost volume by ``amount_pct`` percent (augmentations.py:403-419)."""
+    return audio * (1.0 + amount_pct / 100.0)
+
+
+def duck_audio(audio, amount_pct: float, rng=None):
+    """Duck volume by ``amount_pct`` percent (augmentations.py:420-436)."""
+    return audio * (1.0 - amount_pct / 100.0)
+
+
+def _resample_len(audio, n_out: int):
+    """Resample along the time axis (1) to ``n_out`` samples. Linear kernel
+    with antialiasing on downsample — TPU-portable (the XLA TPU FFT only
+    supports restricted sizes, so no rfft here; the reference uses julius
+    sinc kernels)."""
+    n_in = audio.shape[1]
+    audio = audio.astype(jnp.float32)
+    shape = (audio.shape[0], n_out) + audio.shape[2:]
+    return jax.image.resize(audio, shape, method="linear", antialias=n_out < n_in)
+
+
+def updown_resample(audio, intermediate_freq: int, sample_rate: int = 24000, rng=None):
+    """Resample to ``intermediate_freq`` and back (augmentations.py:437-459)."""
+    n = audio.shape[1]
+    n_mid = int(round(n * intermediate_freq / sample_rate))
+    return _resample_len(_resample_len(audio, n_mid), n)
+
+
+def temporal_crop(audio, keep_ratio: float, rng):
+    """Keep a random contiguous ``keep_ratio`` fraction (augmentations.py:525-550).
+    Output keeps the input length, zero-padded (fixed shapes under jit); the
+    reference returns the shorter clip — detection-wise equivalent."""
+    n = audio.shape[1]
+    keep = int(n * keep_ratio)
+    start = jax.random.randint(rng, (), 0, n - keep + 1)
+    idx = jnp.arange(n)[None, :, None]
+    mask = (idx >= start) & (idx < start + keep)
+    rolled = jnp.where(mask, audio, 0.0)
+    # shift the kept segment to the front (what re-encoding a shorter file sees)
+    return jnp.roll(rolled, -start, axis=1)
+
+
+class MimiCompression:
+    """Neural-codec compression attack through a (converted or finetuned)
+    Mimi encode/decode round trip — the counterpart slot of the reference's
+    DacCompression/EncodecCompression (augmentations.py:551-628), using the
+    codec this pipeline already ships weights-compatible."""
+
+    def __init__(self, mimi, params):
+        self.mimi = mimi
+        self.params = params
+        self._fn = jax.jit(self._roundtrip)
+
+    def _roundtrip(self, params, audio):
+        codes = self.mimi.apply(params, audio, method=self.mimi.encode)
+        return self.mimi.apply(params, codes, method=self.mimi.decode)
+
+    def __call__(self, audio, param=None, rng=None):
+        out = self._fn(self.params, audio)
+        n = min(out.shape[-1], audio.shape[-1])
+        return out[..., :n]
+
+
+class MP3Compression:
+    """MP3 round trip via a host encoder bridge. This image ships no MP3
+    encoder (no ffmpeg/torchaudio/lameenc), so construction raises with a
+    clear message instead of silently no-op'ing; plug a bridge via ``encoder``
+    (fn: np.int16 pcm, sr -> np.int16 pcm)."""
+
+    def __init__(self, sample_rate: int = 24000, encoder=None):
+        self.sample_rate = sample_rate
+        if encoder is None:
+            raise RuntimeError(
+                "MP3Compression needs a host encoder bridge (ffmpeg/lameenc/"
+                "torchaudio, none present in this image)."
+            )
+        self.encoder = encoder
+
+    def __call__(self, audio, bitrate_kbps: float, rng=None):
+        import numpy as np
+
+        pcm = np.clip(np.asarray(audio) * 32767.0, -32768, 32767).astype(np.int16)
+        out = self.encoder(pcm, self.sample_rate, int(bitrate_kbps))
+        return jnp.asarray(out.astype(np.float32) / 32767.0)
+
+
+def get_validation_augs(sample_rate: int = 24000, frame_size: int = 1920,
+                        mimi_codec=None) -> List[Tuple[str, object, List[float]]]:
+    """The audio eval grid (``training/augmentations.py:629-656``): every
+    reference family that is computable in this image, same strengths.
+    TimeStretch is commented out in the reference's own grid; MP3 needs a
+    host encoder bridge; DAC/EnCodec slots are served by the Mimi codec
+    round trip when ``mimi_codec`` is provided."""
+    frame_ms = 1000 * frame_size / sample_rate  # 80 ms
+    shift = lambda ms: ms / 1000 * sample_rate  # noqa: E731
+    augs: List[Tuple[str, object, List[float]]] = [
         ("identity", lambda x, p, r: x, [0]),
+        ("speed", lambda x, p, r: speed(x, p), [0.75, 0.9, 1.0, 1.1, 1.25]),
+        ("echo", lambda x, p, r: echo(x, p[0], p[1]), [(0.1, 0.2), (0.3, 0.5), (0.5, 0.7)]),
         ("noise", lambda x, p, r: gaussian_noise(x, p, r), [0.001, 0.01, 0.05]),
-        ("pink-noise", lambda x, p, r: pink_noise(x, p, r), [0.01, 0.05]),
-        ("lowpass", lambda x, p, r: lowpass(x, p), [0.5, 0.25]),
-        ("highpass", lambda x, p, r: highpass(x, p), [0.02, 0.1]),
-        ("smooth", lambda x, p, r: smooth(x, int(p)), [3, 9]),
-        ("echo", lambda x, p, r: echo(x, p), [0.05, 0.1]),
-        ("speed", lambda x, p, r: speed(x, p), [0.9, 1.1]),
-        ("amplitude", lambda x, p, r: amplitude_scale(x, p), [0.5, 1.5]),
+        ("pink-noise", lambda x, p, r: pink_noise(x, p, r), [0.01, 0.05, 0.1]),
+        ("lowpass", lambda x, p, r: lowpass(x, p / (sample_rate / 2)),
+         [1000, 3000, 8000]),
+        ("highpass", lambda x, p, r: highpass(x, p / (sample_rate / 2)),
+         [100, 500, 1000]),
+        ("bandpass", lambda x, p, r: bandpass(x, p[0] / (sample_rate / 2), p[1] / (sample_rate / 2)),
+         [(300, 3000), (500, 5000), (1000, 8000)]),
+        ("smooth", lambda x, p, r: smooth(x, max(3, int(p * sample_rate)) | 1),
+         [0.001, 0.005, 0.01]),
+        ("boost", lambda x, p, r: boost_audio(x, p), [50, 90]),
+        ("duck", lambda x, p, r: duck_audio(x, p), [50, 90]),
+        ("updown-resample", lambda x, p, r: updown_resample(x, int(p), sample_rate),
+         [sample_rate, int(sample_rate * 1.5), sample_rate * 2]),
+        ("time-shift", lambda x, p, r: time_shift(x, shift(p) / x.shape[-1]),
+         [frame_ms / 8, frame_ms / 4, frame_ms / 2]),
+        ("temporal-crop", lambda x, p, r: temporal_crop(x, p, r), [0.5, 0.7, 0.9]),
     ]
+    if mimi_codec is not None:
+        augs.append(("mimi-compression", lambda x, p, r: mimi_codec(x), [0.0]))
+    return augs

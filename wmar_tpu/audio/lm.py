@@ -29,9 +29,17 @@ from wmar_tpu.engine.kvcache import KVCache
 from wmar_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
 
 
+def gating_hidden(dim: int, dim_feedforward: int) -> int:
+    """Moshi's ActivationGating hidden rule (``modules/gating.py:37-45``):
+    21d/8 when ff == 4d, else 2*ff/3."""
+    if dim_feedforward == 4 * dim:
+        return (21 * dim) // 8
+    return (2 * dim_feedforward) // 3
+
+
 @dataclasses.dataclass(frozen=True)
 class MoshiConfig:
-    n_audio_streams: int = 8
+    n_audio_streams: int = 8  # dep_q: output (watermarkable) audio streams
     audio_vocab: int = 2048
     text_vocab: int = 32000
     dim: int = 512
@@ -40,7 +48,17 @@ class MoshiConfig:
     dep_dim: int = 256
     dep_layers: int = 2
     dep_heads: int = 4
-    delays: Sequence[int] = (0, 1, 1, 1, 1, 1, 1, 1)  # per audio stream
+    delays: Sequence[int] = (0, 1, 1, 1, 1, 1, 1, 1)  # per input audio stream
+    # real-Moshi geometry knobs (loaders.py _lm_kwargs):
+    n_q: Optional[int] = None  # input audio streams (16 for Moshi); None = dep_q
+    hidden_scale: float = 4.0  # ffn = hidden_scale * dim, gated via gating_hidden
+    depformer_multi_linear: bool = False  # one dep_in projection per codebook
+    depformer_weights_per_step: bool = False  # per-codebook depformer weights
+    depformer_pos_emb: str = "rope"  # real Moshi: "none"
+
+    @property
+    def num_inputs(self) -> int:
+        return self.n_q if self.n_q is not None else self.n_audio_streams
 
     @property
     def ungenerated(self) -> int:
@@ -54,13 +72,34 @@ class MoshiConfig:
         return LlamaConfig(
             dim=self.dim, n_layers=self.n_layers, n_heads=self.n_heads,
             vocab_size=8, multiple_of=16, qk_normalization=False,
+            ffn_dim_multiplier=None,
         )
+
+    @property
+    def ffn_hidden(self) -> int:
+        return gating_hidden(self.dim, int(self.hidden_scale * self.dim))
+
+    @property
+    def dep_ffn_hidden(self) -> int:
+        return gating_hidden(self.dep_dim, int(self.hidden_scale * self.dep_dim))
 
     def dep_cfg(self) -> LlamaConfig:
         return LlamaConfig(
             dim=self.dep_dim, n_layers=self.dep_layers, n_heads=self.dep_heads,
             vocab_size=8, multiple_of=16, qk_normalization=False,
         )
+
+
+#: kyutai/moshiko-pytorch-bf16 geometry (``moshi/models/loaders.py:81-111``)
+MOSHI_V01 = MoshiConfig(
+    n_audio_streams=8, audio_vocab=2048, text_vocab=32000,
+    dim=4096, n_layers=32, n_heads=32,
+    dep_dim=1024, dep_layers=6, dep_heads=16,
+    delays=(0, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1, 1),
+    n_q=16, hidden_scale=4.125,
+    depformer_multi_linear=True, depformer_weights_per_step=True,
+    depformer_pos_emb="none",
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,13 +125,45 @@ def init_moshi_params(rng: jax.Array, cfg: MoshiConfig, dtype=jnp.float32):
     def emb(key, n, d):
         return (jax.random.normal(key, (n, d)) * 0.02).astype(dtype)
 
+    def mat(key, n_in, n_out):
+        return (jax.random.normal(key, (n_in, n_out)) * (n_in**-0.5)).astype(dtype)
+
+    # Moshi gating hidden sizes differ from the llama rule — re-init FFN mats
+    def fix_ffn(blocks, d, hidden, keys):
+        for blk, kk in zip(blocks, keys):
+            k1, k2, k3 = jax.random.split(kk, 3)
+            blk["w1"] = mat(k1, d, hidden)
+            blk["w3"] = mat(k2, d, hidden)
+            blk["w2"] = mat(k3, hidden, d)
+        return blocks
+
+    temporal["blocks"] = fix_ffn(
+        temporal["blocks"], cfg.dim, cfg.ffn_hidden,
+        jax.random.split(k[8], cfg.n_layers),
+    )
+    dep["blocks"] = fix_ffn(
+        dep["blocks"], cfg.dep_dim, cfg.dep_ffn_hidden,
+        jax.random.split(k[9], cfg.dep_layers),
+    )
+    if cfg.depformer_weights_per_step:
+        # per-codebook depformer weights (weights_per_step, transformer.py:322)
+        K = cfg.n_audio_streams
+        stack_keys = ("wq", "wk", "wv", "wo", "w1", "w3", "w2")
+        for blk in dep["blocks"]:
+            for name in stack_keys:
+                base = blk[name]
+                reps = jnp.stack([base * (1.0 + 0.01 * i) for i in range(K)])
+                blk[name] = reps
+    num_in = cfg.n_audio_streams if cfg.depformer_multi_linear else 1
     return {
         "temporal": temporal,
         "dep": dep,
         "text_emb": emb(k[2], cfg.text_vocab + 1, cfg.dim),
-        "audio_emb": emb(k[3], cfg.n_audio_streams * (cfg.audio_vocab + 1), cfg.dim),
+        "audio_emb": emb(k[3], cfg.num_inputs * (cfg.audio_vocab + 1), cfg.dim),
         "text_head": emb(k[4], cfg.dim, cfg.text_vocab),
-        "dep_in": emb(k[5], cfg.dim, cfg.dep_dim),
+        "dep_in": jnp.stack(
+            [mat(kk, cfg.dim, cfg.dep_dim) for kk in jax.random.split(k[5], num_in)]
+        ),
         "dep_tok_emb": emb(k[6], cfg.n_audio_streams * (cfg.audio_vocab + 1) + cfg.text_vocab + 1, cfg.dep_dim),
         "dep_heads": emb(k[7], cfg.n_audio_streams * cfg.dep_dim, cfg.audio_vocab).reshape(
             cfg.n_audio_streams, cfg.dep_dim, cfg.audio_vocab
@@ -223,10 +294,10 @@ class MoshiGen:
             # 1. Temporal input: sum of text + per-stream delayed embeddings.
             prev_text = text_hist[:, jnp.maximum(t + 7, 0)]  # last written slot
             x = p["text_emb"][jnp.where(t > 0, prev_text, cfg.text_ungenerated)]
-            for s in range(k_streams):
-                idx = t - 1 - cfg.delays[s]
-                tok = audio_hist[:, s, jnp.maximum(idx, 0)]
-                tok = jnp.where(idx >= 0, tok, cfg.ungenerated)
+            for s in range(cfg.num_inputs):
+                idx = t - 1 - cfg.delays[s % len(cfg.delays)]
+                src = audio_hist[:, s % k_streams, jnp.maximum(idx, 0)]
+                tok = jnp.where(idx >= 0, src, cfg.ungenerated)
                 x = x + p["audio_emb"][s * (cfg.audio_vocab + 1) + tok]
             h, t_cache = _temporal_step(p["temporal"], cfg, x, t_cache, t)
 
@@ -253,9 +324,14 @@ class MoshiGen:
             dep_cache = KVCache.zeros(dcfg.n_layers, batch, dcfg.n_heads, k_streams + 1, dcfg.head_dim)
             prev_tok_emb = p["dep_tok_emb"][k_streams * (cfg.audio_vocab + 1) + text_tok]
             frame_tokens = []
+            n_dep_in = p["dep_in"].shape[0]
             for s in range(k_streams):
-                dep_in = prev_tok_emb + h @ p["dep_in"]
-                hd, dep_cache = _dep_step(p["dep"], dcfg, dep_in, dep_cache, s)
+                dep_in = prev_tok_emb + h @ p["dep_in"][min(s, n_dep_in - 1)]
+                hd, dep_cache = _dep_step(
+                    p["dep"], dcfg, dep_in, dep_cache, s, step=s,
+                    per_step=cfg.depformer_weights_per_step,
+                    use_rope=cfg.depformer_pos_emb == "rope",
+                )
                 logits = hd @ p["dep_heads"][s]
                 tok = self._sample_stream(logits, s + 1, text_hist, jax.random.fold_in(r, s + 1))
                 frame_tokens.append(tok)
@@ -278,29 +354,41 @@ class MoshiGen:
         return text.T, audio.transpose(1, 2, 0)  # [B, T], [B, K, T]
 
 
-def _dep_step(params, dcfg, x_emb, cache, pos):
-    """One depformer position (same shim as the temporal step)."""
+def _dep_step(params, dcfg, x_emb, cache, pos, step: int = 0,
+              per_step: bool = False, use_rope: bool = True):
+    """One depformer position (same shim as the temporal step).
+
+    ``per_step``: select codebook ``step``'s weight slice from stacked
+    [K, ...] params — the reference's weights_per_step / multi-linear
+    depformer (``moshi/modules/transformer.py:322-412``). ``step`` is a
+    static Python int (the depformer loop is unrolled over codebooks).
+    """
     from wmar_tpu.engine.attention import decode_attention
     from wmar_tpu.models import llama as L
 
     b = x_emb.shape[0]
     x = x_emb[:, None, :]
     positions = jnp.full((b, 1), pos, jnp.int32)
+
+    def W(blk, name):
+        return blk[name][step] if per_step else blk[name]
+
     for li, blk in enumerate(params["blocks"]):
         h = L._rms(x, blk["attention_norm"], dcfg.norm_eps)
-        q = (h @ blk["wq"]).reshape(b, 1, dcfg.n_heads, dcfg.head_dim)
-        k = (h @ blk["wk"]).reshape(b, 1, dcfg.kv_heads, dcfg.head_dim)
-        v = (h @ blk["wv"]).reshape(b, 1, dcfg.kv_heads, dcfg.head_dim)
-        q = L.apply_rope(q, positions, dcfg.rope_theta)
-        k = L.apply_rope(k, positions, dcfg.rope_theta)
+        q = (h @ W(blk, "wq")).reshape(b, 1, dcfg.n_heads, dcfg.head_dim)
+        k = (h @ W(blk, "wk")).reshape(b, 1, dcfg.kv_heads, dcfg.head_dim)
+        v = (h @ W(blk, "wv")).reshape(b, 1, dcfg.kv_heads, dcfg.head_dim)
+        if use_rope:
+            q = L.apply_rope(q, positions, dcfg.rope_theta)
+            k = L.apply_rope(k, positions, dcfg.rope_theta)
         q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
         cache = cache.write(li, pos, k, v)
         k_all, v_all = cache.layer(li)
         attn = decode_attention(q, k_all, v_all, jnp.asarray(pos) + 1)
-        attn_out = attn.transpose(0, 2, 1, 3).reshape(b, 1, dcfg.dim) @ blk["wo"]
+        attn_out = attn.transpose(0, 2, 1, 3).reshape(b, 1, dcfg.dim) @ W(blk, "wo")
         x = x + (blk["ls1"] * attn_out if "ls1" in blk else attn_out)
         h2 = L._rms(x, blk["ffn_norm"], dcfg.norm_eps)
-        ffn_out = (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+        ffn_out = (jax.nn.silu(h2 @ W(blk, "w1")) * (h2 @ W(blk, "w3"))) @ W(blk, "w2")
         x = x + (blk["ls2"] * ffn_out if "ls2" in blk else ffn_out)
     x = L._rms(x, params["norm"], dcfg.norm_eps)
     return x[:, 0], cache

@@ -83,7 +83,7 @@ class AugmentationManager:
         if include_neural_compress and self.compressors:
             names = sorted(self.compressors)
             self.augs.append(
-                ("neural-compress", lambda x, name, rng: self.compressors[name](x), names)
+                ("neural-compress", self._run_codec, names)
             )
             for name, codec in self.compressors.items():
                 if getattr(codec, "random_weights", False):
@@ -94,6 +94,14 @@ class AugmentationManager:
                 ("diffpure", lambda x, steps, rng: diffpure(x, float(steps), rng),
                  [0.01, 0.05, 0.1, 0.2, 0.3])
             )
+
+    def _run_codec(self, x, name, rng):
+        """Run one neural codec and record its exact bpp into row_tags so the
+        analyzer's TPR-vs-bpp axis has real rate values (analyzer.py:237)."""
+        rec, bpp = self.compressors[name](x, return_bpp=True)
+        tag = self.row_tags.setdefault(("neural-compress", name), {})
+        tag["bpp"] = float(bpp)
+        return rec
 
     def names(self) -> List[str]:
         return [name for name, _, _ in self.augs]

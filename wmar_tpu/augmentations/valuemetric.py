@@ -22,6 +22,67 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_LUMA = (0.2989, 0.587, 0.114)  # torchvision rgb_to_grayscale weights
+
+
+def grayscale(imgs: jnp.ndarray) -> jnp.ndarray:
+    """3-channel luminance (torchvision Grayscale(num_output_channels=3))."""
+    lum = (imgs * jnp.asarray(_LUMA)).sum(-1, keepdims=True)
+    return jnp.repeat(lum, 3, axis=-1)
+
+
+def contrast(imgs: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """torchvision adjust_contrast: blend with the per-image gray mean."""
+    lum = (imgs * jnp.asarray(_LUMA)).sum(-1, keepdims=True)
+    mean = lum.mean(axis=(1, 2, 3), keepdims=True)
+    return jnp.clip(mean + factor * (imgs - mean), 0.0, 1.0)
+
+
+def saturation(imgs: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """torchvision adjust_saturation: blend with grayscale."""
+    return jnp.clip(grayscale(imgs) + factor * (imgs - grayscale(imgs)), 0.0, 1.0)
+
+
+def hue(imgs: jnp.ndarray, shift: float) -> jnp.ndarray:
+    """Hue rotation by ``shift`` in [-0.5, 0.5] turns (HSV round trip)."""
+    r, g, b = imgs[..., 0], imgs[..., 1], imgs[..., 2]
+    maxc = jnp.max(imgs, axis=-1)
+    minc = jnp.min(imgs, axis=-1)
+    v = maxc
+    cr = maxc - minc
+    s = cr / jnp.maximum(maxc, 1e-8)
+    safe_cr = jnp.maximum(cr, 1e-8)
+    rc = (maxc - r) / safe_cr
+    gc = (maxc - g) / safe_cr
+    bc = (maxc - b) / safe_cr
+    h = jnp.where(maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(cr < 1e-8, 0.0, h)
+    h = (h + shift) % 1.0
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r2, g2, b2], axis=-1)
+
+
+def median_filter(imgs: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """kxk median filter with reflect padding (syncseal valuemetric.py:70-94)."""
+    k = int(kernel_size)
+    pad = k // 2
+    x = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    h, w = imgs.shape[1], imgs.shape[2]
+    patches = jnp.stack(
+        [x[:, i : i + h, j : j + w, :] for i in range(k) for j in range(k)], axis=-1
+    )
+    return jnp.median(patches, axis=-1)
+
+
 def gaussian_noise(imgs: jnp.ndarray, std: float, rng: jax.Array) -> jnp.ndarray:
     noise = jax.random.normal(rng, imgs.shape, imgs.dtype) * std
     return jnp.clip(imgs + noise, 0.0, 1.0)

@@ -79,8 +79,11 @@ class HashGreenlist:
             if fixed_mask is None:
                 thresholds = _thresholds_u32(spec, alive_mask)
                 scores = np.asarray(
-                    hash_key_token(jnp.zeros((1,), jnp.int32), jnp.arange(v), spec.salt_key)
+                    hash_key_token(
+                        jnp.zeros((1, 1), jnp.int32), jnp.arange(v), spec.salt_key
+                    )
                 )[0].astype(np.float64)
+                assert scores.shape == (v,), scores.shape  # guard the broadcast
                 # Rank by score scaled inversely to per-token rate so
                 # stratification is respected; lowest ranks are green.
                 rel = scores / np.maximum(thresholds.astype(np.float64), 1.0)
@@ -194,6 +197,12 @@ def greenlist_ids_torch_compat(
     raise ValueError(f"No torch-compat builder for {spec.split_strategy}")
 
 
+#: dense torch-compat tables above this size would hang-or-OOM (65k keys x
+#: 65k vocab = ~512 MB of packed bits + 65k host randperms); the lazy source
+#: takes over instead (VERDICT r1 #9 / ROADMAP #9)
+_TABLE_BITS_LIMIT = 2**31
+
+
 def build_table_torch_compat(
     spec: WatermarkSpec,
     alive_ids: Optional[np.ndarray] = None,
@@ -202,7 +211,8 @@ def build_table_torch_compat(
     """Build a :class:`TableGreenlist` matching the reference bit-exactly.
 
     ``max_context_sum`` defaults to ``context_size * (vocab_size - 1)``, the
-    largest possible sum of a context window.
+    largest possible sum of a context window. Refuses tables beyond
+    ``_TABLE_BITS_LIMIT`` — use :class:`LazyTorchCompatGreenlist` there.
     """
     v = spec.vocab_size
     if spec.seed_strategy == SeedStrategy.FIXED:
@@ -211,12 +221,90 @@ def build_table_torch_compat(
         if max_context_sum is None:
             max_context_sum = spec.context_size * (v - 1)
         n_keys = max_context_sum + 1
+    if n_keys * v > _TABLE_BITS_LIMIT:
+        raise ValueError(
+            f"torch-compat table would need {n_keys} x {v} bits "
+            f"({n_keys * v / 8e9:.1f} GB + {n_keys} host randperms); at this "
+            "vocab use LazyTorchCompatGreenlist (host-side detection parity) "
+            "or the default hash greenlist for generation."
+        )
     mask = np.zeros((n_keys, v), dtype=bool)
     for key in range(n_keys):
         seed = 0 if spec.seed_strategy == SeedStrategy.FIXED else spec.seed_for_context_sum(key)
         ids = greenlist_ids_torch_compat(spec, seed, alive_ids)
         mask[key, ids] = True
     return TableGreenlist(spec, pack_bool_rows(mask))
+
+
+class LazyTorchCompatGreenlist:
+    """Torch-compat greenlists built per unique context sum, on demand, with
+    a host-side LRU — keeps ``--wm_torch_compat`` usable at Chameleon's 65k
+    vocab (the reference's own ``lru_cache`` detection pattern,
+    ``gentime_watermark.py:278-282``). Host-only: use for detection /
+    parity checks, not inside jitted samplers.
+    """
+
+    def __init__(self, spec: WatermarkSpec, alive_ids=None, maxsize: int = 4096):
+        from collections import OrderedDict
+
+        self.spec = spec
+        self.alive_ids = alive_ids
+        self.maxsize = maxsize
+        self._rows: "OrderedDict[int, np.ndarray]" = OrderedDict()
+
+    def _row(self, key: int) -> np.ndarray:
+        row = self._rows.get(key)
+        if row is None:
+            seed = (0 if self.spec.seed_strategy == SeedStrategy.FIXED
+                    else self.spec.seed_for_context_sum(key))
+            ids = greenlist_ids_torch_compat(self.spec, seed, self.alive_ids)
+            row = np.zeros((self.spec.vocab_size,), dtype=bool)
+            row[ids] = True
+            self._rows[key] = row
+            if len(self._rows) > self.maxsize:
+                self._rows.popitem(last=False)
+        else:
+            self._rows.move_to_end(key)
+        return row
+
+    def green_lookup_host(self, keys: np.ndarray, targets: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys).reshape(-1)
+        targets = np.asarray(targets).reshape(-1)
+        return np.asarray(
+            [self._row(int(k))[int(t)] for k, t in zip(keys, targets)], dtype=bool
+        ).reshape(np.asarray(keys).shape)
+
+    def detect_host(self, codes: np.ndarray) -> np.ndarray:
+        """Host-side detection (ngram dedup + betainc) bit-matching the
+        device path's scoring rules."""
+        from scipy.special import betainc
+
+        from wmar_tpu.core.ngrams import extract_ngrams
+
+        codes = np.asarray(codes)
+        if codes.ndim == 1:
+            codes = codes[None]
+        out = np.zeros((codes.shape[0],), np.float64)
+        for b in range(codes.shape[0]):
+            rows_a, keys_a, tgts_a = (
+                np.asarray(x) for x in extract_ngrams(self.spec, jnp.asarray(codes[b]))
+            )
+            rows_a = rows_a.reshape(-1, rows_a.shape[-1])
+            keys_a, tgts_a = keys_a.reshape(-1), tgts_a.reshape(-1)
+            # dedup on the full ngram window (reference Counter semantics)
+            seen, uniq = set(), []
+            for i in range(rows_a.shape[0]):
+                t = tuple(int(x) for x in rows_a[i])
+                if t not in seen:
+                    seen.add(t)
+                    uniq.append(i)
+            keys = keys_a[uniq]
+            tgts = tgts_a[uniq]
+            green = self.green_lookup_host(keys, tgts)
+            n_green, n_scored = int(green.sum()), len(uniq)
+            out[b] = (float(betainc(n_green, 1 + n_scored - n_green, self.spec.gamma))
+                      if n_green > 0 else 1.0)
+        return out
 
 
 def fixed_greenlist_from_ids(spec: WatermarkSpec, ids: Sequence[int]) -> HashGreenlist:

@@ -43,6 +43,7 @@ def decode_attention(
     valid_len,
     scale: Optional[float] = None,
     start=None,
+    key_mask=None,
 ) -> jnp.ndarray:
     """One-token decode attention against a padded cache.
 
@@ -75,6 +76,11 @@ def decode_attention(
         pos_ok = jnp.broadcast_to((ar < valid_len)[None, None], (q.shape[0], 1, t_max))
     if start is not None:
         pos_ok = pos_ok & (ar[None, None, :] >= start[:, None, None])
+    if key_mask is not None:
+        # per-row per-position validity [B, T_max] — lets rows of one cache
+        # attend to different token subsets (Chameleon CFG rows share one
+        # token history instead of re-prefilling per modality segment)
+        pos_ok = pos_ok & key_mask[:, None, :]
     s = jnp.where(pos_ok[:, None], s, NEG_INF)
     p = jnp.exp(s - s.max(axis=-1, keepdims=True))
     p = p / p.sum(axis=-1, keepdims=True)

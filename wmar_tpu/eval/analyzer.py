@@ -53,20 +53,44 @@ class Record:
 _FNAME = re.compile(r"^(\d+)_(.+?)_([^_]+)_([^_]+)\.json$")
 
 
-def load_records(outdir: str) -> List[Record]:
-    """Walk the result tree (same layout as the reference's Analyzer)."""
-    records = []
-    for path in glob.glob(os.path.join(outdir, "c=*,idx=*", "*.json")):
-        dirname = os.path.basename(os.path.dirname(path))
-        cond = dirname.split(",")[0][2:]
-        fname = os.path.basename(path)
-        m = _FNAME.match(fname)
-        if not m:
-            continue
-        idx, method, transform, param = m.groups()
-        with open(path) as f:
-            metrics = json.load(f)
-        records.append(Record(cond, int(idx), method, transform, param, metrics))
+def _read_one(path: str):
+    dirname = os.path.basename(os.path.dirname(path))
+    cond = dirname.split(",")[0][2:]
+    m = _FNAME.match(os.path.basename(path))
+    if not m:
+        return None
+    idx, method, transform, param = m.groups()
+    with open(path) as f:
+        metrics = json.load(f)
+    return Record(cond, int(idx), method, transform, param, metrics)
+
+
+def load_records(outdir: str, cache: bool = True, workers: int = 20) -> List[Record]:
+    """Walk the result tree (same layout as the reference's Analyzer) with a
+    thread pool and a JSON cache keyed on file count+mtime — the reference's
+    20-thread cached walk (``wmar/utils/analyzer.py:45-86,177-235``)."""
+    paths = sorted(glob.glob(os.path.join(outdir, "c=*,idx=*", "*.json")))
+    cache_path = os.path.join(outdir, ".analyzer_cache.json")
+    sig = [len(paths), max((os.path.getmtime(p) for p in paths), default=0.0)]
+    if cache and os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                blob = json.load(f)
+            if blob.get("sig") == sig:
+                return [Record(**r) for r in blob["records"]]
+        except (json.JSONDecodeError, TypeError, KeyError):
+            pass
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        records = [r for r in pool.map(_read_one, paths) if r is not None]
+    if cache:
+        try:
+            with open(cache_path, "w") as f:
+                json.dump({"sig": sig,
+                           "records": [dataclasses.asdict(r) for r in records]}, f)
+        except OSError:
+            pass
     return records
 
 
@@ -195,3 +219,188 @@ def roc_points(pvals_watermarked, pvals_null):
     fpr = np.searchsorted(null, thresholds, side="right") / max(len(null), 1)
     auc = float(np.trapezoid(tpr, fpr))
     return fpr, tpr, auc
+
+
+# ---------------------------------------------------------------------------
+# Plots + one-command report (the reference's presentation layer:
+# plot_auc / plot_l0_hist / plot_robustness, ``wmar/utils/analyzer.py:
+# 241,300,361-560``)
+# ---------------------------------------------------------------------------
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_roc(pvals_by_method: Dict[str, np.ndarray], save_to: str,
+             null_draws: int = 100000, seed: int = 0):
+    """ROC per method. Exact p-values are U(0,1) under H0, so the null
+    distribution is simulated (exactly what thresholding uniform p-values
+    yields); AUC in the legend (analyzer.py:241-298)."""
+    plt = _mpl()
+    null = np.random.default_rng(seed).uniform(size=null_draws)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for method, pvals in pvals_by_method.items():
+        fpr, tpr, auc = roc_points(pvals, null)
+        ax.plot(fpr, tpr, label=f"{method} (AUC {auc:.3f})", linewidth=2)
+    ax.plot([0, 1], [0, 1], "k--", linewidth=0.8, alpha=0.5)
+    ax.set_xscale("log")
+    ax.set_xlim(1e-4, 1)
+    ax.set_xlabel("FPR")
+    ax.set_ylabel("TPR")
+    ax.legend(loc="lower right", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(save_to, dpi=150)
+    plt.close(fig)
+
+
+def plot_token_match_hist(records: List[Record], save_to: str, roundtrip: int = 1,
+                          bins: int = 40):
+    """Histogram of token-match (1 - l0) after one round trip per method
+    (analyzer.py plot_l0_hist:300-334)."""
+    plt = _mpl()
+    by_method = defaultdict(list)
+    for r in records:
+        if r.transform == "roundtrips" and str(r.param) == str(roundtrip) and "l0" in r.metrics:
+            by_method[r.method].append(1.0 - r.metrics["l0"])
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for method, vals in by_method.items():
+        ax.hist(vals, bins=bins, range=(0, 1), alpha=0.55,
+                label=f"{method} (mean {np.mean(vals):.3f})")
+    ax.set_xlabel("token match after 1 round trip")
+    ax.set_ylabel("count")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(save_to, dpi=150)
+    plt.close(fig)
+
+
+def plot_robustness(records: List[Record], save_to: str, alpha: float = 0.01):
+    """Per-attack TPR@alpha curves over the parameter sweep
+    (analyzer.py plot_robustness:361-560)."""
+    plt = _mpl()
+    by_attack = defaultdict(lambda: defaultdict(list))
+    for r in records:
+        if r.transform in ("roundtrips",) or "pvalue" not in r.metrics:
+            continue
+        by_attack[r.transform][r.param].append(r.metrics["pvalue"])
+    attacks = sorted(by_attack)
+    if not attacks:
+        return
+    ncols = min(4, len(attacks))
+    nrows = -(-len(attacks) // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3.2 * ncols, 2.6 * nrows),
+                             squeeze=False)
+    for ai, attack in enumerate(attacks):
+        ax = axes[ai // ncols][ai % ncols]
+        items = list(by_attack[attack].items())
+        try:
+            items.sort(key=lambda kv: float(kv[0]))
+            xs = [float(k) for k, _ in items]
+            numeric = True
+        except ValueError:
+            xs = list(range(len(items)))
+            numeric = False
+        ys = [tpr_at_fpr(np.asarray(v), alpha) for _, v in items]
+        ax.plot(xs, ys, "o-", markersize=3)
+        ax.set_ylim(-0.03, 1.03)
+        ax.set_title(attack, fontsize=9)
+        if not numeric:
+            ax.set_xticks(xs)
+            ax.set_xticklabels([k for k, _ in items], rotation=90, fontsize=5)
+    for ai in range(len(attacks), nrows * ncols):
+        axes[ai // ncols][ai % ncols].axis("off")
+    fig.suptitle(f"TPR@{alpha:g}", fontsize=11)
+    fig.tight_layout()
+    fig.savefig(save_to, dpi=150)
+    plt.close(fig)
+
+
+def plot_tpr_vs_bpp(records: List[Record], save_to: str, alpha: float = 0.01):
+    """Neural-compression TPR as a function of the codec's exact bpp —
+    the reference's bpp x-axis grid (analyzer.py:237-239,361-560). Needs
+    ``bpp`` in the neural-compress rows (row_tags from the manager)."""
+    plt = _mpl()
+    per_codec = defaultdict(lambda: {"pvals": [], "bpp": []})
+    for r in records:
+        if r.transform != "neural-compress" or "pvalue" not in r.metrics:
+            continue
+        if "bpp" in r.metrics:
+            per_codec[r.param]["bpp"].append(r.metrics["bpp"])
+        per_codec[r.param]["pvals"].append(r.metrics["pvalue"])
+    pts = []
+    for codec, d in per_codec.items():
+        if d["bpp"]:
+            pts.append((float(np.mean(d["bpp"])),
+                        tpr_at_fpr(np.asarray(d["pvals"]), alpha), codec))
+    if not pts:
+        return
+    pts.sort()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    fams = sorted({c.rsplit("-q=", 1)[0] for _, _, c in pts})
+    for fam in fams:
+        sel = [(b, t) for b, t, c in pts if c.startswith(fam)]
+        ax.plot([b for b, _ in sel], [t for _, t in sel], "o-", label=fam)
+    ax.set_xlabel("bits per pixel")
+    ax.set_ylabel(f"TPR@{alpha:g}")
+    ax.set_ylim(-0.03, 1.03)
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(save_to, dpi=150)
+    plt.close(fig)
+
+
+def write_report(outdir: str, report_dir: str = None, alpha: float = 0.01) -> str:
+    """One-command report: tables + all figures from a result tree
+    (the analyze.ipynb workflow as a function)."""
+    report_dir = report_dir or os.path.join(outdir, "report")
+    os.makedirs(report_dir, exist_ok=True)
+    records = load_records(outdir)
+    if not records:
+        raise SystemExit(f"no records under {outdir}")
+    by_method = defaultdict(list)
+    for r in records:
+        if r.transform == "roundtrips" and str(r.param) == "0" and "pvalue" in r.metrics:
+            by_method[r.method].append(r.metrics["pvalue"])
+    lines = [f"# Analysis of {outdir}", ""]
+    table = robustness_table(records, alpha)
+    lines += [markdown_table(table), "", "```latex", latex_table(table), "```", ""]
+    tm = token_match_stats(records)
+    lines += ["## Token match (1 round trip)",
+              json.dumps(tm, indent=1), ""]
+    if by_method:
+        plot_roc({m: np.asarray(v) for m, v in by_method.items()},
+                 os.path.join(report_dir, "roc.png"))
+        lines.append("![roc](roc.png)")
+    plot_token_match_hist(records, os.path.join(report_dir, "token_match_hist.png"))
+    lines.append("![token match](token_match_hist.png)")
+    plot_robustness(records, os.path.join(report_dir, "robustness.png"), alpha)
+    lines.append("![robustness](robustness.png)")
+    if any(r.transform == "neural-compress" and "bpp" in r.metrics for r in records):
+        plot_tpr_vs_bpp(records, os.path.join(report_dir, "tpr_vs_bpp.png"), alpha)
+        lines.append("![tpr vs bpp](tpr_vs_bpp.png)")
+    path = os.path.join(report_dir, "report.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def _main():
+    import argparse
+
+    p = argparse.ArgumentParser(description="Analyze a wmar result tree")
+    p.add_argument("outdir")
+    p.add_argument("--alpha", type=float, default=0.01)
+    p.add_argument("--report_dir", default=None)
+    args = p.parse_args()
+    path = write_report(args.outdir, args.report_dir, args.alpha)
+    print(f"report written to {path}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -178,6 +178,195 @@ def split_token_sequence(tokens: np.ndarray, boi: int, eoi: int) -> List[Tuple[s
     return segments
 
 
+def sample_interleaved_fused(
+    wrapper,
+    prompt,
+    gen_params,
+    text_opts: Optional[TextGenOptions] = None,
+    max_images: int = 1,
+    apply_watermark: bool = False,
+    rng: Optional[jax.Array] = None,
+    max_new_tokens: Optional[int] = None,
+    cache_budget: Optional[int] = None,
+):
+    """Interleaved generation as ONE jitted scan — no re-prefill at modal
+    switches (ROADMAP #7 / VERDICT r1 #8).
+
+    ``cache_budget`` sizes the KV cache beyond the generation budget (e.g.
+    the reference's 4096-token context) to exercise real cache geometry.
+
+    All three instruct-CFG rows share a single KV cache over one global
+    token history; per-row *key masks* reproduce each row's context
+    (full | image-tokens-only | [bos]+current-<boi>) instead of the
+    reference's fresh decoders per segment
+    (``deps/chameleon/inference/chameleon.py:392-445``). Divergence from
+    the reference: the conditional rows keep global rope positions rather
+    than the compacted positions a re-prefill would assign (relative
+    positions within each image segment are identical).
+
+    Modal switching is data-dependent state inside the scan (`mode` flag +
+    counters), exactly the "masked processors + state flags" design SURVEY
+    §7 prescribes for jit-friendly control flow.
+    """
+    from wmar_tpu.core.sampling import instruct_cfg_combine
+
+    text_opts = text_opts or TextGenOptions()
+    vocab = wrapper.vocab
+    cfg = wrapper.llama_cfg
+    opts = wrapper.cfg_opts
+    image_seq_len = wrapper.image_seq_len
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    prompt_ids = np.asarray(wrapper.tokenize_prompts([prompt])[0], np.int32)
+    lp = len(prompt_ids)
+    budget = max_new_tokens or (
+        max_images * (image_seq_len + 2) + (max_images + 1) * text_opts.max_gen_len
+    )
+    t_max = max(lp + budget + 1, cache_budget or 0)
+    wm = wrapper.watermark_runtime() if apply_watermark else None
+
+    img_ok = np.zeros((vocab.vocab_size,), bool)
+    img_ok[np.asarray(vocab.image_tokens)] = True
+    for t in (vocab.bos_id, vocab.boi_id, vocab.eoi_id):
+        img_ok[t] = True
+    text_allowed = np.zeros((vocab.vocab_size,), bool)
+    text_allowed[np.asarray(vocab.text_tokens)] = True
+    text_allowed[vocab.eos_id] = True
+
+    temp_img = gen_params.temperature if gen_params.temperature is not None else opts.temp
+    top_p_img = gen_params.top_p if gen_params.top_p is not None else opts.top_p
+
+    def run(llama_params, prompt_tokens, rng):
+        img_ok_j = jnp.asarray(img_ok)
+        text_ok_j = jnp.asarray(text_allowed)
+        image_mask_j = jnp.asarray(vocab.image_token_mask)
+        # --- single prefill over the prompt, 3 rows, per-row key masks
+        cache = KVCache.zeros(cfg.n_layers, 3, cfg.n_heads, t_max, cfg.head_dim,
+                              wrapper.cache_dtype)
+        prow0 = jnp.ones((lp,), bool)
+        prow1 = img_ok_j[prompt_tokens]
+        prow2 = prompt_tokens == vocab.bos_id
+        key_mask0 = jnp.zeros((3, t_max), bool)
+        key_mask0 = key_mask0.at[0, :lp].set(prow0)
+        key_mask0 = key_mask0.at[1, :lp].set(prow1)
+        key_mask0 = key_mask0.at[2, :lp].set(prow2)
+        toks3 = jnp.tile(prompt_tokens[None], (3, 1))
+        positions = jnp.tile(jnp.arange(lp)[None], (3, 1))
+        logits, cache = llama_forward(
+            llama_params, cfg, toks3, cache, 0, positions, key_mask=key_mask0
+        )
+        last = logits[:, -1]
+
+        def process(last3, mode, counts, img_buf, img_count, images_done, step):
+            # text path (row 0 only)
+            lt = last3[0].astype(jnp.float32)
+            lt = repetition_penalty_mask(lt, counts, text_opts.repetition_penalty)
+            allow_boi = images_done < max_images
+            tmask = text_ok_j | (img_ok_j * 0)
+            tmask = tmask.at[vocab.boi_id].set(allow_boi)
+            lt = jnp.where(tmask, lt, jnp.float32(-1e10))
+            # image path (CFG combine over the 3 rows)
+            full, img_cond, uncond = (last3[i].astype(jnp.float32) for i in range(3))
+            li = instruct_cfg_combine(
+                full[None], img_cond[None], uncond[None],
+                opts.guidance_scale_text, opts.guidance_scale_image,
+            )[0]
+            if wm is not None:
+                li = wm.bias(li[None], img_buf[None], img_count, img_count)[0]
+            li = jnp.where(image_mask_j, li, jnp.float32(-1e10))
+            k = jax.random.fold_in(rng, step)
+            tok_text = warp_and_sample(
+                k, lt[None], temperature=text_opts.temp, top_p=text_opts.top_p,
+                greedy=text_opts.greedy,
+            )[0]
+            tok_img = warp_and_sample(
+                k, li[None], temperature=temp_img, top_p=top_p_img,
+            )[0]
+            return jnp.where(mode == 0, tok_text, tok_img)
+
+        def body(carry, step):
+            (cache, key_mask, prev, mode, img_buf, img_count, images_done,
+             counts, done) = carry
+            wp = lp + step
+            toks = jnp.tile(prev[None, None], (3, 1))
+            pos = jnp.full((3, 1), wp, jnp.int32)
+            last3, cache = llama_forward(
+                llama_params, cfg, toks, cache, wp, pos, key_mask=key_mask
+            )
+            tok = process(last3[:, -1], mode, counts, img_buf, img_count,
+                          images_done, step)
+            # forced <eoi> once the image segment is complete
+            img_full = (mode == 1) & (img_count >= image_seq_len)
+            tok = jnp.where(img_full, vocab.eoi_id, tok)
+            tok = jnp.where(done, vocab.pad_id, tok)
+
+            is_boi = (mode == 0) & (tok == vocab.boi_id)
+            is_eos = (mode == 0) & (tok == vocab.eos_id)
+            is_eoi = img_full & ~done
+            is_img_tok = (mode == 1) & ~img_full & ~done
+
+            # key-mask updates at the *write position of tok* (next step's wp)
+            nwp = wp + 1
+            valid0 = ~done
+            valid1 = (is_img_tok | is_boi | is_eoi) & ~done
+            # uncond row resets to [bos, <boi>] at each new image segment
+            key_mask = jax.lax.cond(
+                is_boi,
+                lambda m: m.at[2].set(jnp.arange(t_max) < 0)
+                           .at[2, :lp].set(jnp.asarray(prompt_tokens == vocab.bos_id)),
+                lambda m: m,
+                key_mask,
+            )
+            valid2 = (is_img_tok | is_boi | is_eoi) & ~done
+            key_mask = key_mask.at[0, nwp].set(valid0)
+            key_mask = key_mask.at[1, nwp].set(valid1)
+            key_mask = key_mask.at[2, nwp].set(valid2)
+
+            img_buf = jnp.where(
+                is_img_tok, img_buf.at[img_count].set(tok), img_buf
+            )
+            counts = jnp.where(mode == 0, counts.at[tok].add(1), counts)
+            img_count = jnp.where(is_boi, 0, jnp.where(is_img_tok, img_count + 1, img_count))
+            images_done = images_done + jnp.where(is_eoi, 1, 0)
+            mode = jnp.where(is_boi, 1, jnp.where(is_eoi, 0, mode))
+            done = done | is_eos
+            carry = (cache, key_mask, tok, mode, img_buf, img_count,
+                     images_done, counts, done)
+            return carry, tok
+
+        img_buf0 = jnp.zeros((image_seq_len,), jnp.int32)
+        counts0 = jnp.zeros((vocab.vocab_size,), jnp.int32)
+        # first sampled token comes from the prefill logits; apply the same
+        # transition logic the scan body uses (a <boi> here switches mode)
+        tok0 = process(last, jnp.int32(0), counts0, img_buf0, jnp.int32(0),
+                       jnp.int32(0), jnp.int32(-1))
+        is_boi0 = tok0 == vocab.boi_id
+        key_mask1 = key_mask0.at[0, lp].set(True).at[1, lp].set(is_boi0)
+        key_mask1 = jax.lax.cond(
+            is_boi0,
+            lambda m: m.at[2].set(jnp.zeros((t_max,), bool))
+                       .at[2, :lp].set(prompt_tokens == vocab.bos_id)
+                       .at[2, lp].set(True),
+            lambda m: m,
+            key_mask1,
+        )
+        carry0 = (cache, key_mask1, tok0, jnp.where(is_boi0, 1, 0).astype(jnp.int32),
+                  img_buf0, jnp.int32(0), jnp.int32(0), counts0.at[tok0].add(1),
+                  tok0 == vocab.eos_id)
+        _, toks = jax.lax.scan(body, carry0, jnp.arange(budget - 1, dtype=jnp.int32))
+        return jnp.concatenate([tok0[None], toks])
+
+    fn = wrapper._cached_jit(
+        ("interleaved_fused", lp, max_images, apply_watermark,
+         text_opts.max_gen_len, budget),
+        lambda: jax.jit(run),
+    )
+    out = np.asarray(fn(wrapper.llama_params, jnp.asarray(prompt_ids), rng))
+    emitted = [int(t) for t in out if t != vocab.pad_id]
+    if vocab.eos_id in emitted:
+        emitted = emitted[: emitted.index(vocab.eos_id) + 1]
+    return split_token_sequence(np.asarray(emitted)[None], vocab.boi_id, vocab.eoi_id)
+
+
 def sample_interleaved(
     wrapper,
     prompt,

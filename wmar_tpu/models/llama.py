@@ -138,12 +138,14 @@ def llama_forward(
     write_pos,
     positions: jnp.ndarray,
     start: Optional[jnp.ndarray] = None,
+    key_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Forward ``tokens [B, t]`` written into the cache at ``write_pos``.
 
     ``positions [B, t]``: rope positions (prompt-relative, pads excluded).
     ``start [B]``: first valid cache index per row (left-pad masking).
-    Returns ``(logits [B, t, vocab] fp32, cache)``.
+    ``key_mask [B, T_max]``: optional per-position validity (CFG rows over a
+    shared token history). Returns ``(logits [B, t, vocab] fp32, cache)``.
     """
     b, t = tokens.shape
     x = params["tok_embeddings"][tokens]
@@ -165,7 +167,8 @@ def llama_forward(
         q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
         cache = cache.write(li, write_pos, k, v)
         k_all, v_all = cache.layer(li)
-        attn = decode_attention(q, k_all, v_all, jnp.asarray(write_pos) + t, start=start)
+        attn = decode_attention(q, k_all, v_all, jnp.asarray(write_pos) + t, start=start,
+                                key_mask=key_mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
         attn_out = attn @ blk["wo"]
         x = x + (blk["ls1"] * attn_out if cfg.layer_scale else attn_out)

@@ -35,6 +35,10 @@ class SyncManager:
                 embedder = WamExact.load(path)
             return SyncManager(WamSync(embedder, image_size=image_size))
         if "sync" in path.lower():
+            if path.endswith((".pt", ".pth", ".safetensors")):
+                from wmar_tpu.sync.syncseal import SyncSealRef
+
+                return SyncManager(SyncSealRef.load_torch(path))
             from wmar_tpu.sync.syncseal import SyncSealModel
 
             return SyncManager(SyncSealModel.load(path))

@@ -286,6 +286,415 @@ def make_train_step(model: SyncSealModel, optimizer, perceptual=None, corner_wei
     return train_step
 
 
+# ---------------------------------------------------------------------------
+# Reference-spec model (exact UNet embedder + ConvNeXtV2 extractor)
+# ---------------------------------------------------------------------------
+
+# torchvision perspective corner order (geometricunified.py startpoints)
+TV_CORNERS = np.asarray(
+    [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]], dtype=np.float32
+)  # TL TR BR BL, normalized (x, y)
+
+
+class SyncSealRef:
+    """The reference's shipped SyncModel: unet_small2_yuv embedder on the Y
+    channel + convnext_tiny extractor predicting (detect logit, 8 corner
+    coords in [-1, 1], TL TR BR BL order), jnd_1_1 attenuation, scaling_w
+    blend, 8-bit ST rounding (``syncseal/models/sync_model.py:84-270``)."""
+
+    def __init__(self, unet_params, convnext_params, cfg: "SyncSealConfig" = None,
+                 unet_cfg=None, convnext_cfg=None):
+        from wmar_tpu.sync import syncseal_models as sm
+
+        self.cfg = cfg or SyncSealConfig(scaling_w=0.2)
+        self.unet_cfg = unet_cfg or sm.UNET_SMALL2_YUV
+        self.convnext_cfg = convnext_cfg or sm.CONVNEXT_TINY
+        self.unet_params = jax.tree.map(jnp.asarray, unet_params)
+        self.convnext_params = jax.tree.map(jnp.asarray, convnext_params)
+
+    @staticmethod
+    def init(seed: int = 0, cfg=None, unet_cfg=None, convnext_cfg=None):
+        from wmar_tpu.sync import syncseal_models as sm
+
+        unet_cfg = unet_cfg or sm.UNET_SMALL2_YUV
+        convnext_cfg = convnext_cfg or sm.CONVNEXT_TINY
+        return SyncSealRef(
+            sm.init_unet_params(seed, unet_cfg),
+            sm.init_convnext_params(seed + 1, convnext_cfg),
+            cfg, unet_cfg, convnext_cfg,
+        )
+
+    @staticmethod
+    def load_torch(ckpt_path: str, cfg=None):
+        """Load the released (non-TorchScript) state dict: embedder.unet.* +
+        extractor.{convnext,head}.* keys."""
+        from wmar_tpu.sync import syncseal_models as sm
+        from wmar_tpu.utils.convert import load_torch_state_dict
+
+        sd = load_torch_state_dict(ckpt_path)
+        unet_prefix = "embedder.unet." if any(k.startswith("embedder.unet.") for k in sd) else "unet."
+        cn_prefix = "extractor.convnext." if any(k.startswith("extractor.") for k in sd) else "convnext."
+        hd_prefix = cn_prefix.replace("convnext.", "head.")
+        return SyncSealRef(
+            sm.convert_unet(sd, prefix=unet_prefix),
+            sm.convert_convnext(sd, prefix=cn_prefix, head_prefix=hd_prefix),
+            cfg,
+        )
+
+    # -- core fns (params explicit for training) ---------------------------
+
+    def embed01(self, unet_params, imgs01, scaling_w=None):
+        from wmar_tpu.sync import syncseal_models as sm
+        from wmar_tpu.sync.wam_exact import jnd_heatmaps
+
+        sw = self.cfg.scaling_w if scaling_w is None else scaling_w
+        y = sm.rgb_to_yuv(imgs01)[..., :1]
+        delta = sm.unet_forward(unet_params, self.unet_cfg, y * 2.0 - 1.0)
+        imgs_w = imgs01 + sw * delta  # scaling_i=1.0, 1ch delta broadcast
+        # jnd_1_1 attenuation: imgs + hmaps * (imgs_w - imgs) on luminance
+        hmaps = jnd_heatmaps(imgs01, blue=False)[..., :1]
+        imgs_w = imgs01 + hmaps * (imgs_w - imgs01)
+        imgs_w = jnp.clip(imgs_w, 0.0, 1.0)
+        q = jnp.round(imgs_w * 255.0) / 255.0  # 8-bit ST rounding
+        return imgs_w + jax.lax.stop_gradient(q - imgs_w)
+
+    def detect01(self, convnext_params, imgs01):
+        from wmar_tpu.sync import syncseal_models as sm
+
+        return sm.convnext_forward(convnext_params, self.convnext_cfg, imgs01 * 2.0 - 1.0)
+
+    # -- SyncManager interface ([-1,1] images) ------------------------------
+
+    def add_sync(self, imgs):
+        out01 = self.embed01(self.unet_params, (imgs + 1.0) / 2.0)
+        return jnp.clip(out01 * 2.0 - 1.0, -1.0, 1.0)
+
+    def remove_sync(self, imgs):
+        preds = self.detect01(self.convnext_params, (imgs + 1.0) / 2.0)
+        corners01 = (preds[:, 1:].reshape(-1, 4, 2) + 1.0) / 2.0  # [-1,1] -> [0,1]
+        # TV order TL TR BR BL -> solver order TL TR BL BR
+        corners01 = corners01[:, jnp.asarray([0, 1, 3, 2])]
+        out01 = unwarp_from_corners((imgs + 1.0) / 2.0, corners01)
+        return jnp.clip(out01 * 2.0 - 1.0, -1.0, 1.0)
+
+    def save(self, path: str):
+        from wmar_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_pytree(path, {"unet": self.unet_params, "convnext": self.convnext_params})
+
+    @staticmethod
+    def load(path: str, cfg=None):
+        from wmar_tpu.utils import checkpoint as ckpt
+
+        model = SyncSealRef.init(0, cfg)
+        state = ckpt.load_pytree(path, {"unet": model.unet_params,
+                                        "convnext": model.convnext_params})
+        return SyncSealRef(state["unet"], state["convnext"], cfg)
+
+
+# ---------------------------------------------------------------------------
+# Training to the reference spec (train_sync.py:250-405)
+# ---------------------------------------------------------------------------
+
+
+def valuemetric_branches():
+    """The in-training valuemetric bank (syncseal/augmentation/valuemetric.py),
+    one jittable branch per family for per-image ``lax.switch``. Parametric
+    families use a few discrete strengths (jit needs static params)."""
+    from wmar_tpu.augmentations import valuemetric as V
+
+    return [
+        lambda x, r: x,  # identity
+        lambda x, r: V.jpeg_diff(x, 60),
+        lambda x, r: V.jpeg_diff(x, 85),
+        lambda x, r: V.gaussian_blur(x, 5),
+        lambda x, r: V.median_filter(x, 3),
+        lambda x, r: jnp.clip(V.brightness(x, 1.5), 0, 1),
+        lambda x, r: V.contrast(x, 1.5),
+        lambda x, r: V.saturation(x, 1.5),
+        lambda x, r: V.hue(x, 0.1),
+        lambda x, r: V.gaussian_noise(x, 0.05, r),
+        lambda x, r: V.grayscale(x),
+    ]
+
+
+def sample_geometric_corners(rng: jax.Array, perspective_strength: float = 0.25):
+    """Sample one geometric aug as target corner positions in [0,1]x[0,1]
+    TV order — identity / rotation / zoom-crop / perspective / hflip, the
+    families of ``syncseal/augmentation/geometricunified.py:41-349``."""
+    k_type, k1, k2 = jax.random.split(rng, 3)
+    canon = jnp.asarray(TV_CORNERS)
+    center = jnp.asarray([0.5, 0.5])
+
+    def ident():
+        return canon
+
+    def rot():
+        theta = jax.random.uniform(k1, minval=-np.pi / 6, maxval=np.pi / 6)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        rm = jnp.asarray([[c, -s], [s, c]])
+        return (canon - center) @ rm.T + center
+
+    def crop():
+        f = jax.random.uniform(k1, minval=0.5, maxval=0.95)
+        # zoom-in: original corners move outside the frame by 1/f
+        return (canon - center) / f + center
+
+    def persp():
+        jitter = jax.random.uniform(k1, (4, 2), minval=-perspective_strength,
+                                    maxval=perspective_strength)
+        inward = jnp.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], jnp.float32)
+        return canon + jitter * inward
+
+    def flip():
+        return canon.at[:, 0].set(1.0 - canon[:, 0])
+
+    t = jax.random.randint(k_type, (), 0, 5)
+    return jax.lax.switch(t, [ident, rot, crop, persp, flip])
+
+
+def apply_tv_corner_warp(imgs01: jnp.ndarray, corners: jnp.ndarray) -> jnp.ndarray:
+    """Warp so canonical TV-order corners land at ``corners`` ([B,4,2], [0,1])."""
+    order = jnp.asarray([0, 1, 3, 2])  # TV -> solver (TL TR BL BR)
+    return apply_corner_warp(imgs01, corners[:, order])
+
+
+@dataclasses.dataclass
+class RefTrainConfig:
+    scaling_w: float = 0.2
+    scaling_w_min: Optional[float] = None  # linear schedule target
+    schedule_epochs: int = 100
+    lambda_i: float = 1.0  # perceptual
+    lambda_d: float = 1.0  # GAN
+    lambda_det: float = 1.0  # detection BCE
+    lambda_sync: float = 10.0  # corner regression
+    disc_start: int = 0
+    finetune_detector_start: int = 10**9
+
+
+def scaling_w_at(cfg: RefTrainConfig, epoch: int) -> float:
+    """Linear scaling_w schedule (uoptim.ScalingScheduler semantics)."""
+    if cfg.scaling_w_min is None:
+        return cfg.scaling_w
+    t = min(max(epoch, 0), cfg.schedule_epochs) / cfg.schedule_epochs
+    return cfg.scaling_w + t * (cfg.scaling_w_min - cfg.scaling_w)
+
+
+def make_ref_train_steps(model: SyncSealRef, optimizer, optimizer_d,
+                         cfg: RefTrainConfig = RefTrainConfig(), perceptual=None):
+    """Two train steps mirroring ``SyncLoss.forward`` optimizer_idx 0/1:
+
+    * model step: perceptual + hinge-G + detect BCE + corner MSE (preds in
+      [-1,1] TV order), through the full valuemetric bank (per-image
+      ``lax.switch``) + geometric corner warp.
+    * disc step: hinge D on (real, fake.detach()).
+
+    ``detector_only`` freezes the embedder and zeroes percep/GAN terms
+    (train_sync.py:390-405). ``scaling_w``/``disc_factor`` are traced args
+    so schedules don't recompile.
+    """
+    import optax
+
+    from wmar_tpu.finetune.perceptual import PerceptualLoss
+
+    perceptual = perceptual or PerceptualLoss()
+    branches = valuemetric_branches()
+
+    def forward(params, imgs01, rng, scaling_w):
+        k_aug, k_type, k_geo = jax.random.split(rng, 3)
+        imgs_w = model.embed01(params["unet"], imgs01, scaling_w)
+        b = imgs01.shape[0]
+        aug_ids = jax.random.randint(k_type, (b,), 0, len(branches))
+        aug_keys = jax.random.split(k_aug, b)
+
+        def aug_one(img, aid, k):
+            return jax.lax.switch(aid, branches, img[None], k)[0]
+
+        imgs_aug = jax.vmap(aug_one)(imgs_w, aug_ids, aug_keys)
+        corners = jax.vmap(sample_geometric_corners)(jax.random.split(k_geo, b))
+        imgs_aug = apply_tv_corner_warp(imgs_aug, corners)
+        preds = model.detect01(params["convnext"], imgs_aug)
+        target = (corners.reshape(b, 8) * 2.0 - 1.0)  # [0,1] -> [-1,1]
+        return imgs_w, preds, target
+
+    def model_loss(params, disc_params, imgs01, rng, scaling_w, disc_factor,
+                   detector_only):
+        from wmar_tpu.sync import syncseal_models as sm
+
+        unet_p = jax.lax.cond(
+            detector_only,
+            lambda p: jax.tree.map(jax.lax.stop_gradient, p),
+            lambda p: p,
+            params["unet"],
+        )
+        imgs_w, preds, target = forward(
+            {"unet": unet_p, "convnext": params["convnext"]}, imgs01, rng, scaling_w
+        )
+        active = jnp.where(detector_only, 0.0, 1.0)
+        p_loss = perceptual(imgs01 * 2 - 1, imgs_w * 2 - 1).mean()
+        logits_fake = sm.discriminator_forward(disc_params, imgs_w)
+        g_loss = -logits_fake.mean()
+        det_loss = optax.sigmoid_binary_cross_entropy(
+            preds[:, 0], jnp.ones_like(preds[:, 0])
+        ).mean()
+        sync_loss = ((preds[:, 1:] - target) ** 2).mean()
+        total = (cfg.lambda_i * active * p_loss
+                 + cfg.lambda_d * active * disc_factor * g_loss
+                 + cfg.lambda_det * det_loss
+                 + cfg.lambda_sync * sync_loss)
+        return total, {"loss": total, "percep": p_loss, "gan_g": g_loss,
+                       "detect": det_loss, "transform": sync_loss}
+
+    def disc_loss(disc_params, params, imgs01, rng, scaling_w, disc_factor):
+        from wmar_tpu.sync import syncseal_models as sm
+
+        imgs_w = model.embed01(params["unet"], imgs01, scaling_w)
+        imgs_w = jax.lax.stop_gradient(imgs_w)
+        logits_real = sm.discriminator_forward(disc_params, imgs01)
+        logits_fake = sm.discriminator_forward(disc_params, imgs_w)
+        d = disc_factor * sm.hinge_d_loss(logits_real, logits_fake)
+        return d, {"disc_loss": d, "logits_real": logits_real.mean(),
+                   "logits_fake": logits_fake.mean()}
+
+    def model_step(state, imgs01, rng, scaling_w, disc_factor, detector_only):
+        params, opt_state, disc_params, _ = state
+        (_, metrics), grads = jax.value_and_grad(model_loss, has_aux=True)(
+            params, disc_params, imgs01, rng, scaling_w, disc_factor, detector_only
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, disc_params, state[3]), metrics
+
+    def disc_step(state, imgs01, rng, scaling_w, disc_factor):
+        params, opt_state, disc_params, disc_opt_state = state
+        (_, metrics), grads = jax.value_and_grad(disc_loss, has_aux=True)(
+            disc_params, params, imgs01, rng, scaling_w, disc_factor
+        )
+        updates, disc_opt_state = optimizer_d.update(grads, disc_opt_state, disc_params)
+        disc_params = optax.apply_updates(disc_params, updates)
+        return (params, opt_state, disc_params, disc_opt_state), metrics
+
+    return model_step, disc_step
+
+
+def init_ref_train_state(model: SyncSealRef, optimizer, optimizer_d, seed: int = 0):
+    from wmar_tpu.sync import syncseal_models as sm
+
+    params = {"unet": model.unet_params, "convnext": model.convnext_params}
+    disc_params = jax.tree.map(
+        lambda x: x if isinstance(x, int) else jnp.asarray(x),
+        sm.init_discriminator_params(seed),
+    )
+    return (params, optimizer.init(params), disc_params, optimizer_d.init(disc_params))
+
+
+# ---------------------------------------------------------------------------
+# Eval (evals/eval_sync.py grid: corner error + PSNR/SSIM/LPIPS + baselines)
+# ---------------------------------------------------------------------------
+
+
+def ssim(a01: jnp.ndarray, b01: jnp.ndarray, window: int = 11, sigma: float = 1.5):
+    """Standard single-scale SSIM over [0,1] NHWC images."""
+    half = window // 2
+    x = jnp.arange(window, dtype=jnp.float32) - half
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    k2d = (g[:, None] * g[None, :] / (g.sum() ** 2))[:, :, None, None]
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def filt(v):
+        c = v.shape[-1]
+        k = jnp.tile(k2d, (1, 1, 1, c))
+        return jax.lax.conv_general_dilated(
+            v, k, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        )
+
+    mu_a, mu_b = filt(a01), filt(b01)
+    saa = filt(a01 * a01) - mu_a**2
+    sbb = filt(b01 * b01) - mu_b**2
+    sab = filt(a01 * b01) - mu_a * mu_b
+    c1, c2 = 0.01**2, 0.03**2
+    s = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)
+    )
+    return s.mean(axis=(1, 2, 3))
+
+
+def sift_ransac_corners(orig01: np.ndarray, attacked01: np.ndarray):
+    """SIFT+RANSAC baseline (``syncseal/models/sync_model.py:273-360``):
+    estimate the homography original->attacked and return where the original
+    frame corners land (normalized [0,1], TV order). None if not enough
+    matches. Host-side OpenCV."""
+    import cv2
+
+    def to_u8(x):
+        return np.clip(np.asarray(x) * 255.0, 0, 255).astype(np.uint8)
+
+    g1 = cv2.cvtColor(to_u8(orig01), cv2.COLOR_RGB2GRAY)
+    g2 = cv2.cvtColor(to_u8(attacked01), cv2.COLOR_RGB2GRAY)
+    sift = cv2.SIFT_create()
+    kp1, des1 = sift.detectAndCompute(g1, None)
+    kp2, des2 = sift.detectAndCompute(g2, None)
+    if des1 is None or des2 is None or len(kp1) < 4 or len(kp2) < 4:
+        return None
+    matcher = cv2.BFMatcher()
+    matches = matcher.knnMatch(des1, des2, k=2)
+    good = [m for m, n in matches if m.distance < 0.75 * n.distance]
+    if len(good) < 4:
+        return None
+    src = np.float32([kp1[m.queryIdx].pt for m in good]).reshape(-1, 1, 2)
+    dst = np.float32([kp2[m.trainIdx].pt for m in good]).reshape(-1, 1, 2)
+    H, _ = cv2.findHomography(src, dst, cv2.RANSAC, 5.0)
+    if H is None:
+        return None
+    h, w = g1.shape
+    corners_px = np.float32([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]]).reshape(-1, 1, 2)
+    mapped = cv2.perspectiveTransform(corners_px, H).reshape(4, 2)
+    return mapped / np.float32([w - 1, h - 1])
+
+
+def evaluate_sync_ref(model: SyncSealRef, imgs01, rng, perceptual=None,
+                      with_sift_baseline: bool = True):
+    """The reference's ``evals/eval_sync.py`` grid: embed, attack with
+    geometric x valuemetric combos, detect, report corner error per cell
+    plus embedding PSNR/SSIM/LPIPS and the SIFT+RANSAC baseline."""
+    from wmar_tpu.augmentations import valuemetric as V
+
+    imgs_w = model.embed01(model.unet_params, imgs01)
+    mse = float(jnp.mean((imgs_w - imgs01) ** 2))
+    quality = {
+        "psnr": float(10 * np.log10(1.0 / max(mse, 1e-12))),
+        "ssim": float(ssim(imgs_w, imgs01).mean()),
+    }
+    if perceptual is not None:
+        quality["lpips"] = float(perceptual(imgs01 * 2 - 1, imgs_w * 2 - 1).mean())
+
+    b = imgs01.shape[0]
+    valuemetrics = [("none", lambda x: x),
+                    ("jpeg60", lambda x: V.jpeg_diff(x, 60)),
+                    ("blur5", lambda x: V.gaussian_blur(x, 5)),
+                    ("noise05", lambda x: V.gaussian_noise(x, 0.05, jax.random.PRNGKey(7)))]
+    rows = []
+    for gi, strength in enumerate((0.05, 0.15, 0.25)):
+        corners = jax.vmap(
+            lambda k: sample_geometric_corners(k, perspective_strength=strength)
+        )(jax.random.split(jax.random.fold_in(rng, gi), b))
+        target = corners.reshape(b, 8) * 2.0 - 1.0
+        for vname, vfn in valuemetrics:
+            attacked = apply_tv_corner_warp(jnp.clip(vfn(imgs_w), 0, 1), corners)
+            preds = model.detect01(model.convnext_params, attacked)
+            err = float(jnp.abs(preds[:, 1:] - target).mean())
+            row = {"strength": strength, "valuemetric": vname, "corner_mae": err}
+            if with_sift_baseline:
+                errs = []
+                for i in range(b):
+                    est = sift_ransac_corners(np.asarray(imgs_w[i]), np.asarray(attacked[i]))
+                    if est is not None:
+                        errs.append(np.abs(est * 2 - 1 - np.asarray(target[i]).reshape(4, 2)).mean())
+                row["sift_corner_mae"] = float(np.mean(errs)) if errs else None
+            rows.append(row)
+    return {"quality": quality, "grid": rows}
+
+
 def evaluate_sync(model: SyncSealModel, imgs01, rng, strengths=(0.05, 0.15, 0.25)):
     """Corner-error eval grid (the reference's ``evals/eval_sync.py``):
     embed, warp by known corners at several strengths, detect, report

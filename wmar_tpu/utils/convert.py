@@ -369,13 +369,22 @@ def convert_chameleon_llama(sd: StateDict, cfg) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _moshi_norm(sd: StateDict, prefix: str) -> Array:
+    """Moshi norms: LayerNorm stores ``.weight`` [d]; RMSNorm stores
+    ``.alpha`` [1,1,d] (``transformer.py:58-74``). Both map to an rms scale."""
+    if prefix + ".alpha" in sd:
+        return np.asarray(sd[prefix + ".alpha"]).reshape(-1)
+    return np.asarray(sd[prefix + ".weight"])
+
+
 def convert_moshi_transformer(sd: StateDict, cfg, prefix: str = "transformer.") -> list:
     """Moshi ``StreamingTransformer`` layers -> llama-style block params.
 
     Mapping (``moshi/modules/transformer.py:430-560``, ``gating.py:25-60``):
     fused ``self_attn.in_proj_weight [3d, d]`` -> wq/wk/wv; gating FFN
-    ``linear_in [2h, d]`` -> (w1 = first h rows, w3 = last h rows),
-    ``linear_out`` -> w2; ``norm1/norm2`` -> attention_norm/ffn_norm;
+    ``linear_in [2h, d]`` -> (w1 = first h rows = the activated branch,
+    w3 = last h rows), ``linear_out`` -> w2; ``norm1/norm2`` (LayerNorm
+    ``.weight`` or RMSNorm ``.alpha``) -> attention_norm/ffn_norm;
     LayerScale ``layer_scale_{1,2}.scale`` -> ls1/ls2."""
     d = cfg.dim
     blocks = []
@@ -386,8 +395,8 @@ def convert_moshi_transformer(sd: StateDict, cfg, prefix: str = "transformer.") 
         lin_in = sd[p + "gating.linear_in.weight"]
         h = lin_in.shape[0] // 2
         blk = {
-            "attention_norm": sd[p + "norm1.weight"],
-            "ffn_norm": sd[p + "norm2.weight"],
+            "attention_norm": _moshi_norm(sd, p + "norm1"),
+            "ffn_norm": _moshi_norm(sd, p + "norm2"),
             "wq": np.ascontiguousarray(wq.T),
             "wk": np.ascontiguousarray(wk.T),
             "wv": np.ascontiguousarray(wv.T),
@@ -401,3 +410,98 @@ def convert_moshi_transformer(sd: StateDict, cfg, prefix: str = "transformer.") 
             blk["ls2"] = sd[p + "layer_scale_2.scale"]
         blocks.append(blk)
     return blocks
+
+
+def convert_moshi_depformer(sd: StateDict, dep_layers: int, dep_dim: int, dep_q: int,
+                            prefix: str = "depformer.") -> list:
+    """Depformer layers with weights_per_step multi-linear weights.
+
+    Layout (``transformer.py:322-339,382-412,528-540``): ``in_proj_weight``
+    is ``[dep_q*3*d, d]`` (per-step fused qkv, step-major), ``out_proj``
+    ``[dep_q*d, d]``; gating is a ModuleList ``gating.{s}.linear_{in,out}``.
+    Output blocks stack per-step weights on a leading K axis.
+    """
+    d = dep_q and dep_dim
+    blocks = []
+    for i in range(dep_layers):
+        p = f"{prefix}layers.{i}."
+        in_proj = np.asarray(sd[p + "self_attn.in_proj_weight"]).reshape(dep_q, 3 * dep_dim, -1)
+        out_proj = np.asarray(sd[p + "self_attn.out_proj.weight"]).reshape(dep_q, dep_dim, -1)
+        wq = np.ascontiguousarray(in_proj[:, :dep_dim].transpose(0, 2, 1))
+        wk = np.ascontiguousarray(in_proj[:, dep_dim : 2 * dep_dim].transpose(0, 2, 1))
+        wv = np.ascontiguousarray(in_proj[:, 2 * dep_dim :].transpose(0, 2, 1))
+        w1s, w3s, w2s = [], [], []
+        for s in range(dep_q):
+            lin_in = np.asarray(sd[f"{p}gating.{s}.linear_in.weight"])
+            h = lin_in.shape[0] // 2
+            w1s.append(lin_in[:h].T)
+            w3s.append(lin_in[h:].T)
+            w2s.append(np.asarray(sd[f"{p}gating.{s}.linear_out.weight"]).T)
+        blocks.append({
+            "attention_norm": _moshi_norm(sd, p + "norm1"),
+            "ffn_norm": _moshi_norm(sd, p + "norm2"),
+            "wq": wq, "wk": wk, "wv": wv,
+            "wo": np.ascontiguousarray(out_proj.transpose(0, 2, 1)),
+            "w1": np.ascontiguousarray(np.stack(w1s)),
+            "w3": np.ascontiguousarray(np.stack(w3s)),
+            "w2": np.ascontiguousarray(np.stack(w2s)),
+        })
+    return blocks
+
+
+def convert_moshi_lm(sd: StateDict, cfg) -> dict:
+    """Full Moshi LMModel checkpoint -> ``wmar_tpu.audio.lm`` params.
+
+    Covers the real layout (``moshi/models/lm.py:143-221``): text_emb,
+    ``emb.{k}`` input audio embeddings (n_q of them), transformer layers,
+    out_norm + text_linear, per-codebook ``depformer_in.{k}``,
+    ``depformer_text_emb``/``depformer_emb.{k}``, weights_per-step depformer
+    layers, and the ``linears.{k}`` output heads.
+    """
+    card, text_card = cfg.audio_vocab, cfg.text_vocab
+    dep_q = cfg.n_audio_streams
+    tvocab = cfg.temporal_cfg().vocab_size  # placeholder size (unused path)
+    temporal = {
+        "blocks": convert_moshi_transformer(sd, cfg.temporal_cfg(), "transformer."),
+        "norm": _moshi_norm(sd, "out_norm"),
+        # unused by the audio path but required by llama params layout
+        "tok_embeddings": np.zeros((tvocab, cfg.dim), np.float32),
+        "output": np.zeros((cfg.dim, tvocab), np.float32),
+    }
+    n_in = 1
+    while f"depformer_in.{n_in}.weight" in sd:
+        n_in += 1
+    dep_in = np.stack(
+        [np.asarray(sd[f"depformer_in.{k}.weight"]).T for k in range(n_in)]
+    )
+    audio_emb = np.concatenate(
+        [np.asarray(sd[f"emb.{k}.weight"]) for k in range(cfg.num_inputs)], axis=0
+    )
+    dep_tok = np.zeros(
+        (dep_q * (card + 1) + text_card + 1, cfg.dep_dim), np.float32
+    )
+    for k in range(dep_q - 1):
+        dep_tok[k * (card + 1) : (k + 1) * (card + 1)] = sd[f"depformer_emb.{k}.weight"]
+    dep_tok[dep_q * (card + 1) :] = sd["depformer_text_emb.weight"]
+    dep = {
+        "blocks": convert_moshi_depformer(sd, cfg.dep_layers, cfg.dep_dim, dep_q),
+        "norm": (np.asarray(sd["depformer.norm.alpha"]).reshape(-1)
+                 if "depformer.norm.alpha" in sd
+                 else _moshi_norm(sd, "depformer.norm")
+                 if ("depformer.norm.weight" in sd or "depformer.norm.alpha" in sd)
+                 else np.ones((cfg.dep_dim,), np.float32)),
+        "tok_embeddings": np.zeros((cfg.dep_cfg().vocab_size, cfg.dep_dim), np.float32),
+        "output": np.zeros((cfg.dep_dim, cfg.dep_cfg().vocab_size), np.float32),
+    }
+    return {
+        "temporal": temporal,
+        "dep": dep,
+        "text_emb": np.asarray(sd["text_emb.weight"]),
+        "audio_emb": audio_emb,
+        "text_head": np.ascontiguousarray(sd["text_linear.weight"].T),
+        "dep_in": dep_in,
+        "dep_tok_emb": dep_tok,
+        "dep_heads": np.stack(
+            [np.asarray(sd[f"linears.{k}.weight"]).T for k in range(dep_q)]
+        ),
+    }
