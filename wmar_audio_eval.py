@@ -38,6 +38,12 @@ def get_parser():
     p.add_argument("--top_k", type=int, default=250)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_augs", action="store_true")
+    p.add_argument("--encodec_weight", type=str, default=None,
+                   help="EnCodec 24k checkpoint for the codec-compression attack")
+    p.add_argument("--dac_weight", type=str, default=None,
+                   help="DAC 24k checkpoint for the codec-compression attack")
+    p.add_argument("--mimi_compression", action="store_true",
+                   help="add a Mimi round-trip codec attack (uses the loaded Mimi)")
     return p
 
 
@@ -97,7 +103,25 @@ def main(argv=None):
 
     # Decode to waveform, attack, re-encode, score.
     pcm = mimi.apply(mimi_params, audio_codes, method=Mimi.decode)
-    augs = [("identity", lambda x, p, r: x, [0])] if args.no_augs else get_validation_augs()
+    if args.no_augs:
+        augs = [("identity", lambda x, p, r: x, [0])]
+    else:
+        codec_kw = {}
+        if args.mimi_compression:
+            from wmar_tpu.audio.augmentations import MimiCompression
+
+            codec_kw["mimi_codec"] = MimiCompression(mimi, mimi_params)
+        if args.encodec_weight:
+            from wmar_tpu.audio.codecs import CodecCompression
+
+            codec_kw["encodec"] = CodecCompression.from_checkpoint(
+                "encodec", args.encodec_weight
+            )
+        if args.dac_weight:
+            from wmar_tpu.audio.codecs import CodecCompression
+
+            codec_kw["dac"] = CodecCompression.from_checkpoint("dac", args.dac_weight)
+        augs = get_validation_augs(**codec_kw)
 
     fixed_hashes = window_hash(jnp.zeros((args.steps, 0), jnp.int32), args.wm_seed)
     records = []

@@ -185,12 +185,14 @@ class MP3Compression:
 
 
 def get_validation_augs(sample_rate: int = 24000, frame_size: int = 1920,
-                        mimi_codec=None) -> List[Tuple[str, object, List[float]]]:
+                        mimi_codec=None, encodec=None, dac=None,
+                        ) -> List[Tuple[str, object, List[float]]]:
     """The audio eval grid (``training/augmentations.py:629-656``): every
     reference family that is computable in this image, same strengths.
     TimeStretch is commented out in the reference's own grid; MP3 needs a
-    host encoder bridge; DAC/EnCodec slots are served by the Mimi codec
-    round trip when ``mimi_codec`` is provided."""
+    host encoder bridge. ``encodec``/``dac`` take converted
+    :class:`wmar_tpu.audio.codecs.CodecCompression` instances (exact ports);
+    ``mimi_codec`` adds a Mimi round-trip slot."""
     frame_ms = 1000 * frame_size / sample_rate  # 80 ms
     shift = lambda ms: ms / 1000 * sample_rate  # noqa: E731
     augs: List[Tuple[str, object, List[float]]] = [
@@ -217,4 +219,8 @@ def get_validation_augs(sample_rate: int = 24000, frame_size: int = 1920,
     ]
     if mimi_codec is not None:
         augs.append(("mimi-compression", lambda x, p, r: mimi_codec(x), [0.0]))
+    if encodec is not None:
+        augs.append(("encodec-compression", lambda x, p, r: encodec(x), [0.0]))
+    if dac is not None:
+        augs.append(("dac-compression", lambda x, p, r: dac(x), [0.0]))
     return augs
