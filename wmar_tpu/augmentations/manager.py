@@ -76,6 +76,7 @@ class AugmentationManager:
             ("upperleft-crop", _no_rng(lambda x, f: G.upper_left_crop_resize_back(x, float(f))),
              [1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55, 0.5]),
         ]
+        self.exact_jpeg = exact_jpeg  # host-PIL jpeg can't be jitted
         self.compressors = nc_models or {}
         #: (transform, param) -> extra fields merged into result records
         #: (marks random-weight codec rows so they can't pass as real attacks)

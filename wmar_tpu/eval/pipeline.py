@@ -77,11 +77,26 @@ def fill_batch_log(
         log["roundtrips"].append((t, np.asarray(cur_codes), np.asarray(cur)))
 
     if aug_manager is not None:
+        # jit each (attack, param) once: classic augs otherwise run op-by-op
+        # through the dispatch layer on every batch (~60 combos per sweep)
+        jit_cache = getattr(aug_manager, "_jit_cache", None)
+        if jit_cache is None:
+            jit_cache = aug_manager._jit_cache = {}
         for ai, (name, fn, params) in enumerate(aug_manager.augs):
             rows = []
             for pi, param in enumerate(params):
                 imgs01 = imgs / 2.0 + 0.5
-                a01 = fn(imgs01, param, jax.random.fold_in(rng, ai * 1000 + pi))
+                key = (name, repr(param))
+                jfn = jit_cache.get(key)
+                if jfn is None:
+                    if name in ("neural-compress", "diffpure") or (
+                        name == "jpeg" and getattr(aug_manager, "exact_jpeg", False)
+                    ):
+                        jfn = lambda x, r, fn=fn, param=param: fn(x, param, r)
+                    else:
+                        jfn = jax.jit(lambda x, r, fn=fn, param=param: fn(x, param, r))
+                    jit_cache[key] = jfn
+                a01 = jfn(imgs01, jax.random.fold_in(rng, ai * 1000 + pi))
                 a = jnp.clip(a01, 0.0, 1.0) * 2.0 - 1.0
                 if sync_manager is not None:
                     a_nosync = sync_manager.remove_sync(a)
