@@ -162,3 +162,55 @@ def test_ref_model_load_torch_layout(tmp_path):
     imgs = jnp.zeros((1, 32, 32, 3))
     out = model.add_sync(imgs)
     assert out.shape == imgs.shape
+
+
+def test_wam_corner_baseline_identity(rng):
+    """WAM corner baseline (syncseal baselines.py WAMSyncModel): an identity
+    estimate maps to the canonical corners; a flip estimate mirrors x."""
+    from wmar_tpu.sync.syncseal import wam_corner_baseline
+
+    class FakeSync:
+        def __init__(self, info):
+            self.info = info
+
+        def estimate(self, img01):
+            return self.info, None
+
+    imgs = jnp.asarray(rng.uniform(-1, 1, size=(1, 64, 64, 3)).astype(np.float32))
+    ident = wam_corner_baseline(FakeSync((0, 127, 127, False)), imgs, image_size=256)
+    np.testing.assert_allclose(
+        ident[0].reshape(4, 2),
+        [[-1, -1], [63 / 32 - 1, -1], [63 / 32 - 1, 63 / 32 - 1], [-1, 63 / 32 - 1]],
+        atol=1e-5,
+    )
+    flipped = wam_corner_baseline(FakeSync((0, 127, 127, True)), imgs, image_size=256)
+    np.testing.assert_allclose(flipped[0].reshape(4, 2)[:, 0],
+                               -ident[0].reshape(4, 2)[:, 0][[1, 0, 3, 2]]
+                               if False else [63 / 32 - 1, -1, -1, 63 / 32 - 1][0:4],
+                               atol=1e-5)
+
+
+def test_ref_training_dp_sharded(rng):
+    """The reference-spec SyncSeal train step runs dp-sharded over the
+    8-device mesh (the reference's DDP + SyncBatchNorm path)."""
+    import optax
+
+    from wmar_tpu.parallel import make_mesh, replicate, shard_batch
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    model = SyncSealRef.init(0, unet_cfg=TINY_UNET, convnext_cfg=TINY_CN)
+    opt, opt_d = optax.adam(1e-3), optax.adam(1e-3)
+    model_step, disc_step = make_ref_train_steps(model, opt, opt_d,
+                                                 RefTrainConfig(), perceptual=_NoPercep())
+    mesh = make_mesh(dp=len(jax.devices()), tp=1)
+    state = init_ref_train_state(model, opt, opt_d)
+    imgs = jnp.asarray(rng.uniform(0, 1, size=(len(jax.devices()), 32, 32, 3)).astype(np.float32))
+    with jax.set_mesh(mesh):
+        state = replicate(mesh, state)
+        batch = shard_batch(mesh, imgs)
+        state, m = jax.jit(model_step)(state, batch, jax.random.PRNGKey(0),
+                                       jnp.float32(0.2), jnp.float32(1.0), jnp.bool_(False))
+        state, dm = jax.jit(disc_step)(state, batch, jax.random.PRNGKey(1),
+                                       jnp.float32(0.2), jnp.float32(1.0))
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(dm["disc_loss"]))

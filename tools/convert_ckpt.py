@@ -22,7 +22,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("kind", choices=["taming", "rar", "chameleon_vqgan", "maskgit_vqgan", "chameleon_llama"])
+    p.add_argument("kind", choices=[
+        "taming", "rar", "chameleon_vqgan", "maskgit_vqgan", "chameleon_llama",
+        "wam", "syncseal", "moshi", "adm", "compressai", "diffusers_vae",
+        "encodec", "dac",
+    ])
+    p.add_argument("--name", default=None,
+                   help="codec name for compressai/diffusers_vae "
+                        "(e.g. cheng2020-anchor-q=3, diffusers-sd-vae-ft-ema)")
     p.add_argument("--ckpt", required=True)
     p.add_argument("--vq", default=None, help="tokenizer ckpt (rar mode)")
     p.add_argument("--size", default="rar_xl")
@@ -82,6 +89,56 @@ def main(argv=None):
         merged = convert.merge_chameleon_shards(shards)
         params = convert.convert_chameleon_llama(merged, CHAMELEON_7B)
         ckpt_io.save_pytree(os.path.join(args.outdir, "llama7b.msgpack"), params)
+    elif args.kind == "wam":
+        from wmar_tpu.sync.wam_exact import convert_wam
+
+        ckpt_io.save_pytree(os.path.join(args.outdir, "wam.msgpack"), convert_wam(sd))
+    elif args.kind == "syncseal":
+        from wmar_tpu.sync import syncseal_models as sm
+
+        unet_prefix = "embedder.unet." if any(k.startswith("embedder.unet.") for k in sd) else "unet."
+        cn_prefix = "extractor.convnext." if any(k.startswith("extractor.") for k in sd) else "convnext."
+        ckpt_io.save_pytree(os.path.join(args.outdir, "syncseal.msgpack"), {
+            "unet": sm.convert_unet(sd, prefix=unet_prefix),
+            "convnext": sm.convert_convnext(sd, prefix=cn_prefix,
+                                            head_prefix=cn_prefix.replace("convnext.", "head.")),
+        })
+    elif args.kind == "moshi":
+        from wmar_tpu.audio.lm import MOSHI_V01
+
+        params = convert.convert_moshi_lm(sd, MOSHI_V01)
+        ckpt_io.save_pytree(os.path.join(args.outdir, "moshi_lm.msgpack"), params)
+    elif args.kind == "adm":
+        from wmar_tpu.augmentations.diffpure import GUIDED_DIFFUSION_256_UNCOND, convert_adm_unet
+
+        variables = convert_adm_unet(sd, GUIDED_DIFFUSION_256_UNCOND)
+        ckpt_io.save_pytree(os.path.join(args.outdir, "adm_unet.msgpack"), variables)
+    elif args.kind == "compressai":
+        from wmar_tpu.augmentations import compressai_jax as cj
+
+        if not args.name:
+            raise SystemExit("--name required (e.g. cheng2020-anchor-q=3)")
+        arch, _ = cj.parse_codec_name(args.name)
+        params = cj.convert_compressai(sd, arch)
+        ckpt_io.save_pytree(os.path.join(args.outdir, args.name + ".msgpack"), params)
+    elif args.kind == "diffusers_vae":
+        from wmar_tpu.augmentations.diffusers_vae import KLVAEConfig, convert_kl_vae
+
+        if not args.name:
+            raise SystemExit("--name required (e.g. diffusers-sd-vae-ft-ema)")
+        cfg = KLVAEConfig.for_name(args.name)
+        ckpt_io.save_pytree(os.path.join(args.outdir, args.name + ".msgpack"),
+                            convert_kl_vae(sd, cfg))
+    elif args.kind == "encodec":
+        from wmar_tpu.audio.codecs import ENCODEC_24K, convert_encodec
+
+        ckpt_io.save_pytree(os.path.join(args.outdir, "encodec24k.msgpack"),
+                            convert_encodec(sd, ENCODEC_24K))
+    elif args.kind == "dac":
+        from wmar_tpu.audio.codecs import DAC_24K, convert_dac
+
+        ckpt_io.save_pytree(os.path.join(args.outdir, "dac24k.msgpack"),
+                            convert_dac(sd, DAC_24K))
     print(f"wrote {args.outdir}")
 
 

@@ -695,6 +695,45 @@ def evaluate_sync_ref(model: SyncSealRef, imgs01, rng, perceptual=None,
     return {"quality": quality, "grid": rows}
 
 
+def wam_corner_baseline(wam_sync, imgs, image_size: int = 256) -> np.ndarray:
+    """WAM-based corner baseline (``syncseal/models/sync_model.py:363-448``
+    WAMSyncModel.detect): turn WamSync's (rotation, cut_i, cut_j, flip)
+    estimate into the 8 corner coordinates normalized to [-1, 1], TV order.
+
+    ``wam_sync``: a ``wam_logic.WamSync`` (e.g. over ``wam_exact.WamExact``);
+    ``imgs``: [-1, 1] NHWC batch of sync-embedded, attacked images.
+    """
+    b, H, W, _ = imgs.shape
+    s = image_size
+    out = np.zeros((b, 8), np.float32)
+    img01 = (np.asarray(imgs) + 1.0) / 2.0
+    for i in range(b):
+        (angle, cuti, cutj, flipped), _ = wam_sync.estimate(jnp.asarray(img01[i]))
+        cuti = min(max(int(cuti), 0), s - 1)
+        cutj = min(max(int(cutj), 0), s - 1)
+        crop_applied = (cuti != (s - 1) // 2 or cutj != (s - 1) // 2) and not flipped
+        corners = np.array([[0, 0], [W - 1, 0], [W - 1, H - 1], [0, H - 1]], np.float32)
+        cuti = int((H - 1) * cuti / (s - 1))
+        cutj = int((W - 1) * cutj / (s - 1))
+        if crop_applied:
+            pad_i = 2 * cuti - (H - 1)
+            pad_j = 2 * cutj - (W - 1)
+            corners = np.array(
+                [[0, 0], [(W - 1) - pad_j, 0],
+                 [(W - 1) - pad_j, (H - 1) - pad_i], [0, (H - 1) - pad_i]], np.float32
+            )
+        if abs(angle) > 1e-2:
+            center = np.array([W / 2, H / 2])
+            theta = -np.deg2rad(angle)
+            rot = np.array([[np.cos(theta), -np.sin(theta)],
+                            [np.sin(theta), np.cos(theta)]])
+            corners = (corners - center) @ rot.T + center
+        if flipped:
+            corners[:, 0] = W - 1 - corners[:, 0]
+        out[i] = ((corners - np.array([W / 2, H / 2])) / np.array([W / 2, H / 2])).reshape(8)
+    return out
+
+
 def evaluate_sync(model: SyncSealModel, imgs01, rng, strengths=(0.05, 0.15, 0.25)):
     """Corner-error eval grid (the reference's ``evals/eval_sync.py``):
     embed, warp by known corners at several strengths, detect, report
