@@ -1,0 +1,365 @@
+"""Parity against the ACTUAL reference modules mounted at /root/reference.
+
+Unlike the torch-oracle tests (which re-state the architectures), these
+instantiate the reference's own torch modules (watermark_anything, syncseal,
+moshi) at tiny configs, export their state dicts through our converters, and
+compare forward outputs — the strongest parity evidence available without
+the published checkpoints.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+# --- light stubs for pip deps the reference imports but never exercises
+# on these paths (timm: DropPath/trunc_normal_ used only at init with
+# drop_path_rate=0; sentencepiece: tokenizer loading only) ------------------
+if "timm" not in sys.modules:
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    def trunc_normal_(t, std=0.02):
+        with torch.no_grad():
+            t.normal_(0, std)
+        return t
+
+    class DropPath(torch.nn.Identity):
+        def __init__(self, p=0.0):
+            super().__init__()
+
+    layers.trunc_normal_ = trunc_normal_
+    layers.DropPath = DropPath
+    models.layers = layers
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+if "sentencepiece" not in sys.modules:
+    sp = types.ModuleType("sentencepiece")
+    sp.SentencePieceProcessor = object
+    sys.modules["sentencepiece"] = sp
+if "bitsandbytes" not in sys.modules:
+    sys.modules["bitsandbytes"] = types.ModuleType("bitsandbytes")
+if "torchvision" not in sys.modules:
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt.Resize = lambda *a, **k: (lambda x: x)
+    tvt.Normalize = lambda *a, **k: (lambda x: x)
+    tvt.InterpolationMode = types.SimpleNamespace(BILINEAR=0, NEAREST=1)
+    tvt.Compose = lambda fns: (lambda x: x)
+    tvt.ToTensor = lambda *a, **k: (lambda x: x)
+    tvf = types.ModuleType("torchvision.transforms.functional")
+    tvf.resize = lambda x, *a, **k: x
+    tvf.perspective = lambda x, *a, **k: x
+    tvf.rotate = lambda x, *a, **k: x
+    tvt.functional = tvf
+    tvt.v2 = types.ModuleType("torchvision.transforms.v2")
+    tvt.v2.JPEG = object
+    tvt.v2.RandomPhotometricDistort = object
+    tvt.__path__ = []  # mark as package so .functional imports resolve
+    sys.modules["torchvision.transforms.v2"] = tvt.v2
+    tv.transforms = tvt
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tvt
+    sys.modules["torchvision.transforms.functional"] = tvf
+# the inner syncseal package uses absolute `syncseal.*` imports
+SYNC_ROOT = REF + "/syncseal"
+if SYNC_ROOT not in sys.path:
+    sys.path.insert(0, SYNC_ROOT)
+
+
+def _np_sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# WAM (deps/watermark_anything)
+# ---------------------------------------------------------------------------
+
+
+def test_wam_vit_extractor_vs_reference():
+    from deps.watermark_anything.modules.pixel_decoder import PixelDecoder
+    from deps.watermark_anything.modules.vit import ImageEncoderViT
+
+    from wmar_tpu.sync import wam_exact as wx
+
+    torch.manual_seed(0)
+    enc = ImageEncoderViT(
+        img_size=32, patch_size=8, embed_dim=16, out_chans=16, depth=2,
+        num_heads=2, window_size=2, global_attn_indexes=(1,), use_rel_pos=True,
+    ).eval()
+    # non-zero rel-pos so the decomposed term is exercised
+    with torch.no_grad():
+        for blk in enc.blocks:
+            blk.attn.rel_pos_h.normal_(0, 0.02)
+            blk.attn.rel_pos_w.normal_(0, 0.02)
+    pd = PixelDecoder(embed_dim=16, nbits=4, upscale_stages=[2, 2, 2],
+                      upscale_type="bilinear").eval()
+
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        feats_ref = enc(x)
+        preds_ref = pd(feats_ref)
+
+    sd = {}
+    sd.update({f"detector.image_encoder.{k}": v for k, v in _np_sd(enc).items()})
+    sd.update({f"detector.pixel_decoder.{k}": v for k, v in _np_sd(pd).items()})
+    cfg = wx.SAMViTConfig(img_size=32, patch_size=8, embed_dim=16, out_chans=16,
+                          depth=2, num_heads=2, window_size=2, global_attn_indexes=(1,))
+    params = wx.convert_wam(
+        {**sd,
+         # satisfy the embedder keys with a tiny VAE below
+         **_tiny_wam_embedder_sd()},
+        vit_cfg=cfg, upscale_stages=(2, 2, 2),
+        enc_cfg=_TINY_ENC, dec_cfg=_TINY_DEC,
+    )
+    feats = wx.sam_encoder(jax.tree.map(jnp.asarray, params["vit"]), cfg,
+                           jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.transpose(feats, (0, 3, 1, 2)), feats_ref.numpy(),
+                               atol=2e-4)
+    # decouple the decoder comparison from ViT float-noise propagation by
+    # feeding the reference's own features
+    preds = wx.pixel_decoder(
+        jax.tree.map(jnp.asarray, params["pixel_decoder"]),
+        jnp.asarray(feats_ref.numpy().transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(np.transpose(preds, (0, 3, 1, 2)), preds_ref.numpy(),
+                               atol=5e-4)
+
+
+from wmar_tpu.models.vqgan import VQGANConfig  # noqa: E402
+
+_TINY_ENC = VQGANConfig(resolution=32, ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                        attn_resolutions=(), z_channels=4, n_embed=1, embed_dim=4)
+_TINY_DEC = VQGANConfig(resolution=32, ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                        attn_resolutions=(), z_channels=12, n_embed=1, embed_dim=12)
+
+
+def _tiny_wam_vae():
+    import deps.watermark_anything.modules.vae as ref_vae
+    from deps.watermark_anything.modules.msg_processor import MsgProcessor
+
+    # GroupNorm(32) needs divisible channels; reference uses ch>=32 — use a
+    # divisor-aware normalizer for the tiny config (same math)
+    orig = ref_vae.Normalize
+    ref_vae.Normalize = lambda c, num_groups=32: torch.nn.GroupNorm(
+        min(num_groups, c), c, eps=1e-6, affine=True
+    )
+    try:
+        torch.manual_seed(1)
+        enc = ref_vae.VAEEncoder(ch=8, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+                                 attn_resolutions=[], in_channels=3, resolution=32,
+                                 z_channels=4, double_z=False)
+        dec = ref_vae.VAEDecoder(ch=8, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+                                 attn_resolutions=[], in_channels=3, resolution=32,
+                                 z_channels=12, tanh_out=True)
+    finally:
+        ref_vae.Normalize = orig
+    msg = MsgProcessor(nbits=4, hidden_size=8)
+    return enc, dec, msg
+
+
+def _tiny_wam_embedder_sd():
+    enc, dec, msg = _tiny_wam_vae()
+    sd = {}
+    sd.update({f"embedder.encoder.{k}": v for k, v in _np_sd(enc).items()})
+    sd.update({f"embedder.decoder.{k}": v for k, v in _np_sd(dec).items()})
+    sd.update({f"embedder.msg_processor.{k}": v for k, v in _np_sd(msg).items()})
+    return sd
+
+
+def test_wam_vae_embedder_vs_reference():
+    """Reference VAEEncoder -> MsgProcessor -> VAEDecoder(tanh) against our
+    converted taming modules + msg_concat. GroupNorm(32) in the reference
+    needs channel counts >= 32? No — torch GroupNorm(32, 8) fails, so the
+    reference normalizer uses num_groups=32 only for real sizes; tiny sizes
+    skip via monkeypatched Normalize."""
+    enc, dec, msg = _tiny_wam_vae()
+    enc.eval(), dec.eval(), msg.eval()
+    x = torch.randn(2, 3, 32, 32)
+    msgs = torch.randint(0, 2, (2, 4))
+    with torch.no_grad():
+        lat = enc(x)
+        lat_w = msg(lat, msgs)
+        delta_ref = dec(lat_w)
+
+    sd = {}
+    sd.update({f"embedder.encoder.{k}": v for k, v in _np_sd(enc).items()})
+    sd.update({f"embedder.decoder.{k}": v for k, v in _np_sd(dec).items()})
+    sd.update({f"embedder.msg_processor.{k}": v for k, v in _np_sd(msg).items()})
+
+    from wmar_tpu.models.vqgan import Decoder, Encoder
+    from wmar_tpu.sync import wam_exact as wx
+    from wmar_tpu.utils.convert import _convert_taming_decoder, _convert_taming_encoder
+
+    # our Encoder/Decoder use GroupNorm(32): patch for tiny channels
+    import flax.linen as nn
+
+    import wmar_tpu.models.vqgan as our_vqgan
+
+    # reference tiny patch uses GroupNorm(min(32, c)); for c<=32 that is
+    # one channel per group == flax group_size=1
+    orig = our_vqgan._norm
+    our_vqgan._norm = lambda: nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-6)
+    try:
+        enc_p = _convert_taming_encoder(sd, _TINY_ENC, "embedder.encoder.")
+        dec_p = _convert_taming_decoder(sd, _TINY_DEC, "embedder.decoder.")
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        lat_j = Encoder(_TINY_ENC).apply({"params": jax.tree.map(jnp.asarray, enc_p)}, xj)
+        lat_wj = wx.msg_concat(
+            jnp.asarray(sd["embedder.msg_processor.msg_embeddings.weight"]),
+            lat_j, jnp.asarray(msgs.numpy()),
+        )
+        delta_j = jnp.tanh(
+            Decoder(_TINY_DEC).apply({"params": jax.tree.map(jnp.asarray, dec_p)}, lat_wj)
+        )
+    finally:
+        our_vqgan._norm = orig
+    np.testing.assert_allclose(
+        np.transpose(delta_j, (0, 3, 1, 2)), delta_ref.numpy(), atol=3e-4
+    )
+
+
+def test_wam_jnd_vs_reference():
+    from deps.watermark_anything.modules.jnd import JND
+
+    from wmar_tpu.sync.wam_exact import jnd_heatmaps
+
+    jnd = JND(in_channels=1, out_channels=3, blue=True).eval()
+    torch.manual_seed(3)
+    x = torch.rand(2, 3, 32, 32)
+    with torch.no_grad():
+        ref = jnd.heatmaps(x)
+    ours = jnd_heatmaps(jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), blue=True)
+    np.testing.assert_allclose(np.transpose(ours, (0, 3, 1, 2)), ref.numpy(),
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# SyncSeal (syncseal/)
+# ---------------------------------------------------------------------------
+
+
+def test_syncseal_unet_vs_reference():
+    from syncseal.modules.unet import UNet
+
+    from wmar_tpu.sync import syncseal_models as sm
+
+    torch.manual_seed(4)
+    ref = UNet(in_channels=1, out_channels=1, z_channels=8, num_blocks=2,
+               activation="gelu", normalization="group",
+               z_channels_mults=(1, 2), last_tanh=True).eval()
+    cfg = sm.UNetConfig(in_channels=1, out_channels=1, z_channels=8,
+                        num_blocks=2, z_channels_mults=(1, 2), norm_groups=8)
+    x = torch.randn(2, 1, 32, 32)
+    with torch.no_grad():
+        out_ref = ref(x)
+    params = jax.tree.map(jnp.asarray, sm.convert_unet(_np_sd(ref), cfg))
+    out = sm.unet_forward(params, cfg, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.transpose(out, (0, 3, 1, 2)), out_ref.numpy(),
+                               atol=3e-4)
+
+
+def test_syncseal_convnext_vs_reference():
+    import importlib.util
+
+    # load head.py directly: head.py lives in modules/; loading it directly avoids any
+    # augmentation chain (torchvision.utils etc.)
+    spec = importlib.util.spec_from_file_location(
+        "ref_head", SYNC_ROOT + "/syncseal/modules/head.py")
+    head_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(head_mod)
+    Head = head_mod.Head
+    from syncseal.modules.convnext import ConvNeXtV2
+
+    from wmar_tpu.sync import syncseal_models as sm
+
+    torch.manual_seed(5)
+    # the reference hard-codes 4 downsample stages (convnext.py:84)
+    cn = ConvNeXtV2(depths=[1, 1, 1, 1], dims=[8, 8, 16, 16]).eval()
+    head = Head(embed_dim=16, out_dim=8).eval()
+
+    class Wrap(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convnext = cn
+            self.head = head
+
+    sd = _np_sd(Wrap())
+    cfg = sm.ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 8, 16, 16), out_dim=8)
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        ref = head(cn(x))
+    params = jax.tree.map(jnp.asarray, sm.convert_convnext(sd, cfg))
+    out = sm.convnext_forward(params, cfg, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-4)
+
+
+def test_syncseal_discriminator_vs_reference():
+    from syncseal.modules.discriminator import NLayerDiscriminator
+
+    from wmar_tpu.sync import syncseal_models as sm
+
+    torch.manual_seed(6)
+    ref = NLayerDiscriminator(input_nc=3, ndf=8, n_layers=3).eval()
+    x = torch.rand(2, 3, 32, 32)
+    with torch.no_grad():
+        out_ref = ref(x)
+    params = jax.tree.map(jnp.asarray, sm.convert_discriminator(_np_sd(ref)))
+    out = sm.discriminator_forward(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.transpose(out, (0, 3, 1, 2)), out_ref.numpy(),
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Moshi (wmar_audio/moshi)
+# ---------------------------------------------------------------------------
+
+
+def test_moshi_layer_vs_reference():
+    """Reference StreamingTransformerLayer (rms_norm, silu gating) at T=1,
+    non-streaming, vs our converted block."""
+    sys.path.insert(0, REF + "/wmar_audio")
+    from moshi.modules.transformer import StreamingTransformerLayer
+
+    from wmar_tpu.audio.lm import MoshiConfig, _temporal_step
+    from wmar_tpu.engine.kvcache import KVCache
+    from wmar_tpu.utils.convert import convert_moshi_transformer
+
+    torch.manual_seed(7)
+    d, heads = 16, 2
+    layer = StreamingTransformerLayer(
+        d_model=d, num_heads=heads, dim_feedforward=int(4.125 * d),
+        causal=True, context=16, gating="silu", norm="rms_norm",
+    ).eval()
+    x = torch.randn(2, 1, d)
+    with torch.no_grad():
+        ref = layer(x)
+
+    class Wrap(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            t = torch.nn.Module()
+            t.layers = torch.nn.ModuleList([layer])
+            self.transformer = t
+
+    cfg = MoshiConfig(dim=d, n_layers=1, n_heads=heads, hidden_scale=4.125)
+    blocks = convert_moshi_transformer(_np_sd(Wrap()), cfg.temporal_cfg(), "transformer.")
+    params = {"blocks": jax.tree.map(jnp.asarray, blocks), "norm": jnp.ones((d,))}
+    cache = KVCache.zeros(1, 2, heads, 4, d // heads)
+    out, _ = _temporal_step(params, cfg, jnp.asarray(x.numpy()[:, 0]), cache, 0)
+    # our step applies the final rms norm; normalize the reference identically
+    ref_n = ref / torch.sqrt((ref**2).mean(-1, keepdim=True) + 1e-5)
+    np.testing.assert_allclose(np.asarray(out), ref_n[:, 0].numpy(), atol=3e-5)

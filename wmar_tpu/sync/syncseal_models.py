@@ -99,8 +99,9 @@ def _res_block(p, x, groups):
 
 def _ublock_up(p, x):
     """bilinear x2 + reflect-pad conv3(no bias) + channels-first LN + GELU."""
-    b, h, w, c = x.shape
-    x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "bilinear")
+    from wmar_tpu.sync.wam_exact import torch_bilinear_up
+
+    x = torch_bilinear_up(x, 2)
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
     x = jax.lax.conv_general_dilated(x, p["conv"]["kernel"], (1, 1), "VALID",
                                      dimension_numbers=DN)

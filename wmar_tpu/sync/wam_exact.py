@@ -164,13 +164,33 @@ def sam_encoder(params: dict, cfg: SAMViTConfig, x: jnp.ndarray) -> jnp.ndarray:
     return _ln(params["neck3"], h)
 
 
+def torch_bilinear_up(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """torch ``Upsample(scale_factor=f, mode=bilinear, align_corners=False)``
+    bit-exact (half-pixel sampling with edge clamping; jax.image.resize
+    differs at borders)."""
+    b, h, w, c = x.shape
+
+    def axis_weights(n):
+        src = (jnp.arange(n * factor, dtype=jnp.float32) + 0.5) / factor - 0.5
+        src = jnp.clip(src, 0.0, n - 1.0)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+        wgt = src - lo
+        return lo, hi, wgt
+
+    lo_h, hi_h, w_h = axis_weights(h)
+    x = x[:, lo_h] * (1.0 - w_h)[None, :, None, None] + x[:, hi_h] * w_h[None, :, None, None]
+    lo_w, hi_w, w_w = axis_weights(w)
+    x = x[:, :, lo_w] * (1.0 - w_w)[None, None, :, None] + x[:, :, hi_w] * w_w[None, None, :, None]
+    return x
+
+
 def pixel_decoder(params: List[dict], feats: jnp.ndarray, factors=None) -> jnp.ndarray:
     """x4/x2/x2 bilinear upscaling stages + 1x1 head -> [B, H, W, 1+nbits]."""
     h = feats
     factors = factors or [int(s["factor"]) for s in params[:-1]]
     for stage, f in zip(params[:-1], factors):
-        b, hh, ww, c = h.shape
-        h = jax.image.resize(h, (b, hh * f, ww * f, c), "bilinear")
+        h = torch_bilinear_up(h, f)
         h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
         h = jax.lax.conv_general_dilated(
             h, stage["conv"]["kernel"], (1, 1), "VALID",
