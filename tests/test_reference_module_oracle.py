@@ -7,8 +7,16 @@ compare forward outputs — the strongest parity evidence available without
 the published checkpoints.
 """
 
+import importlib.machinery
 import sys
 import types
+
+
+def _stub_module(name):
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
 
 import numpy as np
 import pytest
@@ -26,9 +34,9 @@ if REF not in sys.path:
 # on these paths (timm: DropPath/trunc_normal_ used only at init with
 # drop_path_rate=0; sentencepiece: tokenizer loading only) ------------------
 if "timm" not in sys.modules:
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    layers = types.ModuleType("timm.models.layers")
+    timm = _stub_module("timm")
+    models = _stub_module("timm.models")
+    layers = _stub_module("timm.models.layers")
 
     def trunc_normal_(t, std=0.02):
         with torch.no_grad():
@@ -47,25 +55,26 @@ if "timm" not in sys.modules:
     sys.modules["timm.models"] = models
     sys.modules["timm.models.layers"] = layers
 if "sentencepiece" not in sys.modules:
-    sp = types.ModuleType("sentencepiece")
+    sp = _stub_module("sentencepiece")
     sp.SentencePieceProcessor = object
     sys.modules["sentencepiece"] = sp
 if "bitsandbytes" not in sys.modules:
-    sys.modules["bitsandbytes"] = types.ModuleType("bitsandbytes")
+    _bnb = _stub_module("bitsandbytes")
+    sys.modules["bitsandbytes"] = _bnb
 if "torchvision" not in sys.modules:
-    tv = types.ModuleType("torchvision")
-    tvt = types.ModuleType("torchvision.transforms")
+    tv = _stub_module("torchvision")
+    tvt = _stub_module("torchvision.transforms")
     tvt.Resize = lambda *a, **k: (lambda x: x)
     tvt.Normalize = lambda *a, **k: (lambda x: x)
     tvt.InterpolationMode = types.SimpleNamespace(BILINEAR=0, NEAREST=1)
     tvt.Compose = lambda fns: (lambda x: x)
     tvt.ToTensor = lambda *a, **k: (lambda x: x)
-    tvf = types.ModuleType("torchvision.transforms.functional")
+    tvf = _stub_module("torchvision.transforms.functional")
     tvf.resize = lambda x, *a, **k: x
     tvf.perspective = lambda x, *a, **k: x
     tvf.rotate = lambda x, *a, **k: x
     tvt.functional = tvf
-    tvt.v2 = types.ModuleType("torchvision.transforms.v2")
+    tvt.v2 = _stub_module("torchvision.transforms.v2")
     tvt.v2.JPEG = object
     tvt.v2.RandomPhotometricDistort = object
     tvt.__path__ = []  # mark as package so .functional imports resolve
@@ -363,3 +372,115 @@ def test_moshi_layer_vs_reference():
     # our step applies the final rms norm; normalize the reference identically
     ref_n = ref / torch.sqrt((ref**2).mean(-1, keepdim=True) + 1e-5)
     np.testing.assert_allclose(np.asarray(out), ref_n[:, 0].numpy(), atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# ADM UNet (deps/saberi_wmr/DiffPure/guided_diffusion)
+# ---------------------------------------------------------------------------
+
+
+def test_adm_unet_vs_reference():
+    """convert_adm_unet against the reference's actual guided_diffusion
+    UNetModel (the DiffPure backbone, utils.py:563-591 loads it with
+    256x256_diffusion_uncond.pt)."""
+    sys.path.insert(0, REF + "/deps/saberi_wmr/DiffPure")
+    from guided_diffusion.unet import UNetModel
+
+    from wmar_tpu.augmentations.diffpure import ADMConfig, ADMUNet, convert_adm_unet
+
+    cfg = ADMConfig(
+        image_size=16, model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(8,), num_head_channels=16, diffusion_steps=50,
+    )
+    torch.manual_seed(8)
+    ref = UNetModel(
+        image_size=16, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(16 // 8,),  # ds units
+        channel_mult=(1, 2), num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True, use_fp16=False, dropout=0.0,
+    ).eval()
+    # zero_module-initialized convs make half the model vanish; perturb
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.abs().max() == 0 and p.ndim > 1:
+                p.add_(0.02 * torch.randn_like(p))
+
+    x = torch.randn(2, 3, 16, 16)
+    t = torch.tensor([3, 40])
+    with torch.no_grad():
+        out_ref = ref(x, t)
+
+    variables = jax.tree.map(jnp.asarray, convert_adm_unet(_np_sd(ref), cfg))
+    out = ADMUNet(cfg).apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), jnp.asarray(t.numpy())
+    )
+    np.testing.assert_allclose(np.transpose(out, (0, 3, 1, 2)), out_ref.numpy(),
+                               atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Taming minGPT: greedy-decode token parity vs the reference's own
+# sample_with_past (the stated north star), and the real VQGAN convs
+# ---------------------------------------------------------------------------
+
+
+def test_taming_greedy_decode_vs_reference_sample_with_past():
+    from deps.taming.modules.transformer.mingpt import GPT, sample_with_past
+
+    from wmar_tpu.engine.decode import SamplerConfig, decode_tokens
+    from wmar_tpu.models.taming_gpt import GPTConfig, make_step_fn, prefill
+    from wmar_tpu.utils.convert import convert_taming_gpt
+
+    torch.manual_seed(9)
+    ref = GPT(vocab_size=32, block_size=32, n_layer=2, n_head=2, n_embd=16,
+              embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.2 * torch.randn_like(p))
+
+    cond = torch.tensor([[3]])  # the reference asserts cond_len == 1 (class token)
+    with torch.no_grad():
+        ref_tokens = sample_with_past(cond, ref, steps=10, temperature=1.0,
+                                      sample_logits=False).numpy()[0]
+
+    cfg = GPTConfig(vocab_size=32, block_size=32, n_layer=2, n_head=2, n_embd=16)
+    sd = {f"transformer.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_taming_gpt(sd, cfg))
+    init_logits, cache = prefill(params, cfg, jnp.asarray(cond.numpy().astype(np.int32)),
+                                 max_len=16)
+    step_fn = make_step_fn(params, cfg, cond_len=1)
+    out, _ = decode_tokens(step_fn, cache, init_logits, 10, jax.random.PRNGKey(0),
+                           SamplerConfig(greedy=True))
+    np.testing.assert_array_equal(np.asarray(out)[0], ref_tokens)
+
+
+def test_taming_vqgan_convs_vs_reference():
+    from deps.taming.modules.diffusionmodules.model import Decoder as RefDecoder
+    from deps.taming.modules.diffusionmodules.model import Encoder as RefEncoder
+
+    from wmar_tpu.models.vqgan import Decoder, Encoder, VQGANConfig
+    from wmar_tpu.utils.convert import _convert_taming_decoder, _convert_taming_encoder
+
+    torch.manual_seed(10)
+    kw = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+              attn_resolutions=[16], in_channels=3, resolution=32,
+              z_channels=32, dropout=0.0)
+    renc = RefEncoder(double_z=False, **kw).eval()
+    rdec = RefDecoder(**kw).eval()
+    cfg = VQGANConfig(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(16,), z_channels=32, n_embed=8, embed_dim=32)
+
+    x = torch.randn(1, 3, 32, 32)
+    z = torch.randn(1, 32, 16, 16)
+    with torch.no_grad():
+        enc_ref = renc(x)
+        dec_ref = rdec(z)
+    sd = {}
+    sd.update({f"encoder.{k}": v.detach().numpy() for k, v in renc.state_dict().items()})
+    sd.update({f"decoder.{k}": v.detach().numpy() for k, v in rdec.state_dict().items()})
+    enc_p = jax.tree.map(jnp.asarray, _convert_taming_encoder(sd, cfg, "encoder."))
+    dec_p = jax.tree.map(jnp.asarray, _convert_taming_decoder(sd, cfg, "decoder."))
+    enc = Encoder(cfg).apply({"params": enc_p}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    dec = Decoder(cfg).apply({"params": dec_p}, jnp.asarray(z.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.transpose(enc, (0, 3, 1, 2)), enc_ref.numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.transpose(dec, (0, 3, 1, 2)), dec_ref.numpy(), atol=3e-4)
