@@ -47,8 +47,32 @@ if "timm" not in sys.modules:
         def __init__(self, p=0.0):
             super().__init__()
 
+    class Mlp(torch.nn.Module):
+        """timm.layers.Mlp (fc1/act/drop1/norm/fc2/drop2 naming)."""
+
+        def __init__(self, in_features, hidden_features=None, out_features=None,
+                     act_layer=torch.nn.GELU, bias=True, drop=0.0, **kw):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = torch.nn.Linear(in_features, hidden_features, bias=bias)
+            self.act = act_layer()
+            self.drop1 = torch.nn.Dropout(drop)
+            self.fc2 = torch.nn.Linear(hidden_features, out_features, bias=bias)
+            self.drop2 = torch.nn.Dropout(drop)
+
+        def forward(self, x):
+            return self.drop2(self.fc2(self.drop1(self.act(self.fc1(x)))))
+
     layers.trunc_normal_ = trunc_normal_
     layers.DropPath = DropPath
+    layers.Mlp = Mlp
+    tlayers = _stub_module("timm.layers")
+    tlayers.Mlp = Mlp
+    tlayers.trunc_normal_ = trunc_normal_
+    tlayers.DropPath = DropPath
+    timm.layers = tlayers
+    sys.modules["timm.layers"] = tlayers
     models.layers = layers
     timm.models = models
     sys.modules["timm"] = timm
@@ -80,6 +104,10 @@ if "torchvision" not in sys.modules:
     tvt.__path__ = []  # mark as package so .functional imports resolve
     sys.modules["torchvision.transforms.v2"] = tvt.v2
     tv.transforms = tvt
+    tvm = _stub_module("torchvision.models")
+    tvm.vgg16 = lambda *a, **k: None
+    tv.models = tvm
+    sys.modules["torchvision.models"] = tvm
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tvt
     sys.modules["torchvision.transforms.functional"] = tvf
@@ -484,3 +512,60 @@ def test_taming_vqgan_convs_vs_reference():
     dec = Decoder(cfg).apply({"params": dec_p}, jnp.asarray(z.numpy().transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.transpose(enc, (0, 3, 1, 2)), enc_ref.numpy(), atol=3e-4)
     np.testing.assert_allclose(np.transpose(dec, (0, 3, 1, 2)), dec_ref.numpy(), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# RAR: near-greedy decode parity vs the reference's own RAR.generate
+# ---------------------------------------------------------------------------
+
+
+def test_rar_decode_vs_reference_generate():
+    """Token trajectories match the reference's RAR.generate with converted
+    weights (temperature -> 0 makes multinomial deterministic), incl. the
+    cosine-annealed in-batch CFG (rar.py:429-455)."""
+    from deps.rar.modeling.rar import RAR as RefRAR
+
+    from wmar_tpu.core.sampling import warp_and_sample
+    from wmar_tpu.models.rar import RARConfig, RARSampler
+    from wmar_tpu.utils.convert import convert_rar
+
+    torch.manual_seed(11)
+
+    class NS(dict):
+        __getattr__ = dict.__getitem__
+
+    conf = NS(model=NS(
+        vq_model=NS(codebook_size=32),
+        generator=NS(hidden_size=16, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=32,
+                     image_seq_len=8, condition_num_classes=4,
+                     dropout=0.0, attn_drop=0.0),
+    ))
+    ref = RefRAR(conf).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.ndim > 1 and p.abs().max() == 0:
+                p.add_(0.05 * torch.randn_like(p))
+
+    cond = torch.tensor([1, 3])
+    with torch.no_grad():
+        ref_ids = ref.generate(
+            condition=cond, guidance_scale=4.0, randomize_temperature=1e-5,
+            guidance_scale_pow=2.75, kv_cache=True,
+        ).numpy()
+
+    cfg = RARConfig(embed_dim=16, depth=2, num_heads=2, intermediate_size=32,
+                    image_seq_len=8, codebook_size=32, num_classes=4)
+    params = jax.tree.map(jnp.asarray, convert_rar(_np_sd(ref), cfg))
+    sampler = RARSampler(params, cfg, jnp.asarray(cond.numpy().astype(np.int32)),
+                         guidance_scale=4.0, guidance_scale_pow=2.75,
+                         cache_dtype=jnp.float32)
+    logits, cache = sampler.prefill()
+    toks = []
+    prev = jnp.zeros((2,), jnp.int32)
+    for step in range(cfg.image_seq_len):
+        if step > 0:
+            logits, cache = sampler.step_fn(cache, prev, jnp.int32(step))
+        prev = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        toks.append(np.asarray(prev))
+    np.testing.assert_array_equal(np.stack(toks, axis=1), ref_ids)
