@@ -569,3 +569,75 @@ def test_rar_decode_vs_reference_generate():
         prev = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
         toks.append(np.asarray(prev))
     np.testing.assert_array_equal(np.stack(toks, axis=1), ref_ids)
+
+
+# ---------------------------------------------------------------------------
+# Mimi codec: full encode/decode vs the reference's MimiModel
+# ---------------------------------------------------------------------------
+
+
+def test_mimi_vs_reference_model():
+    """convert_mimi + our Mimi reproduce the reference MimiModel's encode
+    codes and decoded waveform at a tiny config (SEANet + causal rope
+    bottleneck transformer + learned conv resampling + split RVQ)."""
+    sys.path.insert(0, REF + "/wmar_audio")
+    from moshi.models.compression import MimiModel
+    from moshi.modules import SEANetEncoder, SEANetDecoder, transformer as mtr
+    from moshi.quantization import SplitResidualVectorQuantizer
+
+    from wmar_tpu.audio.mimi import Mimi, MimiConfig, convert_mimi
+
+    torch.manual_seed(12)
+    seanet_kwargs = dict(
+        channels=1, dimension=16, causal=True, n_filters=4, n_residual_layers=1,
+        activation="ELU", compress=2, dilation_base=2, disable_norm_outer_blocks=0,
+        kernel_size=7, residual_kernel_size=3, last_kernel_size=3, norm="none",
+        pad_mode="constant", ratios=[4, 2], true_skip=True,
+    )
+    tr_kwargs = dict(
+        d_model=16, num_heads=2, num_layers=1, causal=True, layer_scale=0.01,
+        context=25, conv_layout=True, max_period=10000, gating="none",
+        norm="layer_norm", positional_embedding="rope", dim_feedforward=32,
+        input_dimension=16, output_dimensions=[16],
+    )
+    q_kwargs = dict(dimension=8, n_q=4, bins=32, input_dimension=16,
+                    output_dimension=16)
+    enc = SEANetEncoder(**seanet_kwargs)
+    dec = SEANetDecoder(**seanet_kwargs)
+    ref = MimiModel(
+        enc, dec, SplitResidualVectorQuantizer(**q_kwargs),
+        channels=1, sample_rate=24000, frame_rate=24000 / (8 * 2),
+        encoder_frame_rate=24000 / 8, causal=True, resample_method="conv",
+        encoder_transformer=mtr.ProjectedTransformer(**tr_kwargs),
+        decoder_transformer=mtr.ProjectedTransformer(**tr_kwargs),
+    ).eval()
+    # randomize EMA codebooks (init is zeros-ish)
+    with torch.no_grad():
+        for name, buf in ref.state_dict().items():
+            if name.endswith("embedding_sum"):
+                buf.normal_(0, 1.0)
+            if name.endswith("cluster_usage"):
+                buf.fill_(1.0)
+
+    x = torch.randn(2, 1, 64) * 0.3
+    with torch.no_grad():
+        codes_ref = ref.encode(x)
+        audio_ref = ref.decode(codes_ref)
+
+    cfg = MimiConfig(
+        dimension=16, n_filters=4, ratios=(4, 2), n_residual_layers=1,
+        kernel_size=7, residual_kernel_size=3, last_kernel_size=3,
+        n_q=4, n_q_semantic=1, cardinality=32, codebook_dim=8,
+        transformer_layers=1, transformer_heads=2, transformer_ff=32,
+        transformer_context=25, layer_scale=0.01, downsample=2,
+    )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_mimi(sd, cfg))
+    model = Mimi(cfg)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    codes = model.apply(variables, xj, method=Mimi.encode)
+    np.testing.assert_array_equal(np.asarray(codes), codes_ref.numpy())
+    audio = model.apply(variables, codes, method=Mimi.decode)
+    np.testing.assert_allclose(
+        np.asarray(audio).transpose(0, 2, 1), audio_ref.numpy(), atol=5e-4
+    )

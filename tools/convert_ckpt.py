@@ -24,7 +24,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("kind", choices=[
         "taming", "rar", "chameleon_vqgan", "maskgit_vqgan", "chameleon_llama",
-        "wam", "syncseal", "moshi", "adm", "compressai", "diffusers_vae",
+        "wam", "syncseal", "moshi", "mimi", "adm", "compressai", "diffusers_vae",
         "encodec", "dac",
     ])
     p.add_argument("--name", default=None,
@@ -108,6 +108,11 @@ def main(argv=None):
 
         params = convert.convert_moshi_lm(sd, MOSHI_V01)
         ckpt_io.save_pytree(os.path.join(args.outdir, "moshi_lm.msgpack"), params)
+    elif args.kind == "mimi":
+        from wmar_tpu.audio.mimi import MIMI_V0_1, convert_mimi
+
+        ckpt_io.save_pytree(os.path.join(args.outdir, "mimi.msgpack"),
+                            convert_mimi(sd, MIMI_V0_1))
     elif args.kind == "adm":
         from wmar_tpu.augmentations.diffpure import GUIDED_DIFFUSION_256_UNCOND, convert_adm_unet
 

@@ -85,10 +85,33 @@ def main(argv=None):
         mimi = Mimi(mimi_cfg)
         mimi_params = mimi.init(jax.random.PRNGKey(1), jnp.zeros((1, mimi_cfg.hop_length * 4, 1)))
     else:
-        raise NotImplementedError(
-            "full-size Moshi/Mimi weights require conversion (tools/convert_ckpt.py); "
-            "run with --tiny for the smoke pipeline"
-        )
+        from wmar_tpu.audio.lm import MOSHI_V01
+        from wmar_tpu.audio.mimi import MIMI_V0_1, convert_mimi
+        from wmar_tpu.utils import checkpoint as _ckpt
+        from wmar_tpu.utils.convert import convert_moshi_lm, load_torch_state_dict
+
+        if not (args.moshi_weight and args.mimi_weight):
+            raise SystemExit(
+                "full-size eval needs --moshi_weight (model.safetensors) and "
+                "--mimi_weight (tokenizer-*.safetensors), or use --tiny"
+            )
+        moshi_cfg, mimi_cfg = MOSHI_V01, MIMI_V0_1
+        mimi = Mimi(mimi_cfg)
+        if args.mimi_weight.endswith(".msgpack"):
+            like = mimi.init(jax.random.PRNGKey(0), jnp.zeros((1, mimi_cfg.hop_length * 2, 1)))
+            mimi_params = _ckpt.load_pytree(args.mimi_weight, like)
+        else:
+            mimi_params = jax.tree.map(
+                jnp.asarray, convert_mimi(load_torch_state_dict(args.mimi_weight), mimi_cfg)
+            )
+        if args.moshi_weight.endswith(".msgpack"):
+            like = init_moshi_params(jax.random.PRNGKey(0), moshi_cfg)
+            moshi_params = _ckpt.load_pytree(args.moshi_weight, like)
+        else:
+            moshi_params = jax.tree.map(
+                jnp.asarray,
+                convert_moshi_lm(load_torch_state_dict(args.moshi_weight), moshi_cfg),
+            )
 
     streams = tuple(int(s) for s in args.wm_streams.split(","))
     wm = None
