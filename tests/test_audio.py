@@ -174,11 +174,18 @@ def test_moshi_generation_watermarked_detects():
 
 
 def test_moshi_prompt_teacher_forcing():
+    """prompt_codes force the *generated* frames; the emitted stream is
+    delay-aligned (LMGen's output gather), so stream k shows prompt frames
+    shifted by its delay."""
     params = init_moshi_params(jax.random.PRNGKey(0), TINY_MOSHI)
     gen = MoshiGen(params, TINY_MOSHI, None)
     prompt = jnp.asarray(np.random.default_rng(0).integers(0, 32, size=(1, 4, 5)))
     _, audio = gen.generate(12, jax.random.PRNGKey(0), batch=1, prompt_codes=prompt)
-    np.testing.assert_array_equal(np.asarray(audio[:, :, :5]), np.asarray(prompt))
+    for k, delay in enumerate(TINY_MOSHI.delays):
+        tp = prompt.shape[-1]
+        np.testing.assert_array_equal(
+            np.asarray(audio[:, k, : tp - delay]), np.asarray(prompt[:, k, delay:])
+        )
 
 
 def test_moshi_text_prompt_teacher_forcing():

@@ -641,3 +641,58 @@ def test_mimi_vs_reference_model():
     np.testing.assert_allclose(
         np.asarray(audio).transpose(0, 2, 1), audio_ref.numpy(), atol=5e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Moshi LM: full greedy generation vs the reference's LMGen.step
+# ---------------------------------------------------------------------------
+
+
+def test_moshi_generation_vs_reference_lmgen():
+    """Greedy token trajectories (text + dep_q audio streams, delay-aligned
+    emission) match the reference LMGen ring-cache loop with converted
+    weights (lm.py:399-647)."""
+    sys.path.insert(0, REF + "/wmar_audio")
+    from moshi.models.lm import LMGen, LMModel
+
+    from wmar_tpu.audio.lm import MoshiConfig, MoshiGen, WMConfig
+    from wmar_tpu.utils.convert import convert_moshi_lm
+
+    torch.manual_seed(13)
+    ref = LMModel(
+        dim=16, text_card=24, n_q=3, dep_q=2, card=16, num_heads=2, num_layers=1,
+        hidden_scale=4.125, causal=True, context=32, gating="silu", norm="rms_norm",
+        positional_embedding="rope", depformer_dim=8,
+        depformer_dim_feedforward=int(4.125 * 8), depformer_num_heads=2,
+        depformer_num_layers=1, depformer_causal=True, depformer_multi_linear=True,
+        depformer_context=3, depformer_gating="silu", depformer_pos_emb="none",
+        depformer_weights_per_step=True, delays=[0, 0, 1, 1],
+    ).eval()
+    with torch.no_grad():
+        for p_ in ref.parameters():
+            if p_.ndim > 1 and p_.abs().max() == 0:
+                p_.add_(0.05 * torch.randn_like(p_))
+
+    gen_ref = LMGen(ref, use_sampling=False)
+    n_steps = 7
+    outs = []
+    with torch.no_grad(), gen_ref.streaming(1):
+        for _ in range(n_steps):
+            out = gen_ref.step(torch.zeros(1, 1, 1, dtype=torch.long))
+            if out is not None:
+                outs.append(out[:, :, 0])
+    ref_frames = torch.stack(outs, dim=2).numpy()  # [1, 1+dep_q, frames]
+
+    cfg = MoshiConfig(
+        n_audio_streams=2, audio_vocab=16, text_vocab=24,
+        dim=16, n_layers=1, n_heads=2, dep_dim=8, dep_layers=1, dep_heads=2,
+        delays=(0, 1, 1), n_q=3, hidden_scale=4.125,
+        depformer_multi_linear=True, depformer_weights_per_step=True,
+        depformer_pos_emb="none",
+    )
+    params = jax.tree.map(jnp.asarray, convert_moshi_lm(_np_sd(ref), cfg))
+    ours = MoshiGen(params, cfg, WMConfig(method="none", ngram=0, greedy=True))
+    n_frames = ref_frames.shape[2]
+    text, audio = ours.generate(n_frames, jax.random.PRNGKey(0), batch=1)
+    np.testing.assert_array_equal(np.asarray(text), ref_frames[:, 0])
+    np.testing.assert_array_equal(np.asarray(audio), ref_frames[:, 1:])

@@ -114,6 +114,7 @@ class WMConfig:
     seed: int = 0
     temp: float = 0.8
     top_k: int = 250
+    greedy: bool = False  # use_sampling=False (argmax) — parity tests
 
 
 def init_moshi_params(rng: jax.Array, cfg: MoshiConfig, dtype=jnp.float32):
@@ -220,9 +221,11 @@ class MoshiGen:
         is the [B, ngram] text context window (text stream only)."""
         wm = self.wm
         use_wm = wm is not None and wm.method != "none" and stream_idx in wm.streams
+        greedy = bool(wm.greedy) if wm is not None else False
         if not use_wm:
             return audio_wm.wm_sample_token(
-                logits, "none", rng=rng, temp=0.8, top_k=250
+                logits, "none", rng=rng, use_sampling=not greedy,
+                temp=wm.temp if wm else 0.8, top_k=wm.top_k if wm else 250,
             )
         if stream_idx == 0 and wm.ngram > 0:
             hashes = audio_wm.window_hash(ctx_tokens, wm.seed)
@@ -252,18 +255,35 @@ class MoshiGen:
         Params travel as jit ARGUMENTS (closure-captured weights become HLO
         constants, breaking remote-compile backends — see armm.py note).
         """
+        return self.generate_with_inputs(n_frames, rng, batch, prompt_codes,
+                                         text_prompt, other_codes=None)
+
+    def generate_with_inputs(
+        self,
+        n_frames: int,
+        rng: jax.Array,
+        batch: int = 1,
+        prompt_codes: Optional[jnp.ndarray] = None,
+        text_prompt: Optional[jnp.ndarray] = None,
+        other_codes: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Like :meth:`generate`, plus ``other_codes [B, n_q - dep_q, T]`` —
+        the user/input audio streams fed per frame (the reference's
+        ``LMGen.step(input_tokens)``); zeros when omitted."""
         key = (n_frames, batch,
                None if prompt_codes is None else tuple(prompt_codes.shape),
-               None if text_prompt is None else tuple(text_prompt.shape))
+               None if text_prompt is None else tuple(text_prompt.shape),
+               None if other_codes is None else tuple(other_codes.shape))
         fn = self._jit_cache.get(key)
         if fn is None:
-            def build(params, rng, prompt_codes, text_prompt):
+            def build(params, rng, prompt_codes, text_prompt, other_codes):
                 return self._generate_impl(
-                    params, n_frames, rng, batch, prompt_codes, text_prompt
+                    params, n_frames, rng, batch, prompt_codes, text_prompt,
+                    other_codes,
                 )
 
             fn = self._jit_cache[key] = jax.jit(build)
-        return fn(self.params, rng, prompt_codes, text_prompt)
+        return fn(self.params, rng, prompt_codes, text_prompt, other_codes)
 
     def _generate_impl(
         self,
@@ -273,42 +293,74 @@ class MoshiGen:
         batch: int,
         prompt_codes: Optional[jnp.ndarray],
         text_prompt: Optional[jnp.ndarray],
+        other_codes: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """LMGen.step semantics (``moshi/models/lm.py:493-610``): a ring
+        cache of size max_delay + 2 holds the *model input* per step per
+        stream. Generated frames are written at slot t+1 (the depformer's
+        acoustic outputs are already delay-aligned); delayed streams are
+        seeded with the initial token while ``t <= delay``; the emitted
+        frame gathers each stream at ``t + 1 - max_delay + delay_k`` so the
+        output is time-aligned with a ``max_delay`` latency."""
         cfg = self.cfg
         p = params
-        k_streams = cfg.n_audio_streams
+        dep_q = cfg.n_audio_streams
+        n_in = cfg.num_inputs
         tcfg, dcfg = cfg.temporal_cfg(), cfg.dep_cfg()
-        max_delay = max(cfg.delays)
-
-        t_cache = KVCache.zeros(tcfg.n_layers, batch, tcfg.n_heads, n_frames + 1, tcfg.head_dim)
-        text_hist0 = jnp.full((batch, n_frames + 8), cfg.text_ungenerated, jnp.int32)
-        audio_hist0 = jnp.full(
-            (batch, k_streams, n_frames + max_delay + 1), cfg.ungenerated, jnp.int32
+        audio_delays = tuple(cfg.delays)
+        full_delays = (0,) + tuple(
+            audio_delays[s % len(audio_delays)] for s in range(n_in)
         )
-        if prompt_codes is not None:
-            tp = prompt_codes.shape[-1]
-            audio_hist0 = audio_hist0.at[:, :, :tp].set(prompt_codes)
+        max_delay = max(full_delays)
+        ct = max_delay + 2
+        total_steps = n_frames + max_delay
+        card1 = cfg.audio_vocab + 1
+
+        t_cache = KVCache.zeros(
+            tcfg.n_layers, batch, tcfg.n_heads, total_steps + 1, tcfg.head_dim
+        )
+        ring0 = jnp.zeros((batch, 1 + n_in, ct), jnp.int32)
+        # _get_initial_token (lm.py:284-299): text_card for text, card for audio
+        initial = jnp.asarray([cfg.text_vocab] + [cfg.audio_vocab] * n_in, jnp.int32)
+        delays_j = jnp.asarray(full_delays, jnp.int32)
 
         def frame(carry, t):
-            t_cache, text_hist, audio_hist = carry
-            # 1. Temporal input: sum of text + per-stream delayed embeddings.
-            prev_text = text_hist[:, jnp.maximum(t + 7, 0)]  # last written slot
-            x = p["text_emb"][jnp.where(t > 0, prev_text, cfg.text_ungenerated)]
-            for s in range(cfg.num_inputs):
-                idx = t - 1 - cfg.delays[s % len(cfg.delays)]
-                src = audio_hist[:, s % k_streams, jnp.maximum(idx, 0)]
-                tok = jnp.where(idx >= 0, src, cfg.ungenerated)
-                x = x + p["audio_emb"][s * (cfg.audio_vocab + 1) + tok]
+            t_cache, ring = carry
+            # 1. write the user/input streams at their delayed slots
+            for qo in range(n_in - dep_q):
+                k = 1 + dep_q + qo
+                if other_codes is not None:
+                    to = other_codes.shape[-1]
+                    tok = jax.lax.dynamic_slice(
+                        other_codes, (0, qo, jnp.minimum(t, to - 1)), (batch, 1, 1)
+                    )[:, 0, 0]
+                    tok = jnp.where(t < to, tok, 0)
+                else:
+                    tok = jnp.zeros((batch,), jnp.int32)
+                ring = ring.at[:, k, (t + full_delays[k]) % ct].set(tok)
+            # 2. seed initial tokens while t <= delay
+            pos = t % ct
+            seed = t <= delays_j  # [1 + n_in]
+            cur = ring[:, :, pos]
+            ring = ring.at[:, :, pos].set(jnp.where(seed[None, :], initial[None, :], cur))
+            inp = ring[:, :, pos]  # [B, 1 + n_in]
+
+            # 3. temporal transformer on the summed embeddings
+            x = p["text_emb"][inp[:, 0]]
+            for s in range(n_in):
+                x = x + p["audio_emb"][s * card1 + inp[:, 1 + s]]
             h, t_cache = _temporal_step(p["temporal"], cfg, x, t_cache, t)
 
-            # 2. Text stream (watermark context = its own last ngram tokens).
+            # 4. text sampling (wm context = the last ngram *input* text
+            # tokens in the ring, lm.py:562-564)
             text_logits = h @ p["text_head"]
             r = jax.random.fold_in(rng, t)
             ngram = self.wm.ngram if self.wm else 0
-            ctx = (
-                jax.lax.dynamic_slice(text_hist, (0, t + 8 - max(ngram, 1)), (batch, max(ngram, 1)))
-                if ngram > 0 else jnp.zeros((batch, 0), jnp.int32)
-            )
+            if ngram > 0:
+                idxs = (pos + 1 - ngram + jnp.arange(ngram)) % ct
+                ctx = ring[:, 0, idxs]
+            else:
+                ctx = jnp.zeros((batch, 0), jnp.int32)
             text_tok = self._sample_stream(text_logits, 0, ctx, jax.random.fold_in(r, 0))
             if text_prompt is not None:
                 tt = text_prompt.shape[-1]
@@ -316,16 +368,16 @@ class MoshiGen:
                     text_prompt, (0, jnp.minimum(t, tt - 1)), (batch, 1)
                 )[:, 0]
                 text_tok = jnp.where(t < tt, forced_t, text_tok)
-            text_hist = jax.lax.dynamic_update_slice(
-                text_hist, text_tok[:, None].astype(jnp.int32), (0, t + 8)
-            )
+            text_tok = text_tok.astype(jnp.int32)
 
-            # 3. Depformer: K sequential codebooks for frame t.
-            dep_cache = KVCache.zeros(dcfg.n_layers, batch, dcfg.n_heads, k_streams + 1, dcfg.head_dim)
-            prev_tok_emb = p["dep_tok_emb"][k_streams * (cfg.audio_vocab + 1) + text_tok]
+            # 5. depformer: dep_q sequential codebooks
+            dep_cache = KVCache.zeros(
+                dcfg.n_layers, batch, dcfg.n_heads, dep_q + 1, dcfg.head_dim
+            )
+            prev_tok_emb = p["dep_tok_emb"][dep_q * card1 + text_tok]
             frame_tokens = []
             n_dep_in = p["dep_in"].shape[0]
-            for s in range(k_streams):
+            for s in range(dep_q):
                 dep_in = prev_tok_emb + h @ p["dep_in"][min(s, n_dep_in - 1)]
                 hd, dep_cache = _dep_step(
                     p["dep"], dcfg, dep_in, dep_cache, s, step=s,
@@ -333,24 +385,35 @@ class MoshiGen:
                     use_rope=cfg.depformer_pos_emb == "rope",
                 )
                 logits = hd @ p["dep_heads"][s]
-                tok = self._sample_stream(logits, s + 1, text_hist, jax.random.fold_in(r, s + 1))
-                frame_tokens.append(tok)
-                prev_tok_emb = p["dep_tok_emb"][s * (cfg.audio_vocab + 1) + tok]
-            frame_audio = jnp.stack(frame_tokens, axis=1).astype(jnp.int32)  # [B, K]
+                tok = self._sample_stream(logits, s + 1, ctx, jax.random.fold_in(r, s + 1))
+                frame_tokens.append(tok.astype(jnp.int32))
+                prev_tok_emb = p["dep_tok_emb"][s * card1 + tok]
+            frame_audio = jnp.stack(frame_tokens, axis=1)  # [B, dep_q]
             if prompt_codes is not None:
                 tp = prompt_codes.shape[-1]
                 forced = jax.lax.dynamic_slice(
-                    prompt_codes, (0, 0, jnp.minimum(t, tp - 1)), (batch, k_streams, 1)
+                    prompt_codes, (0, 0, jnp.minimum(t, tp - 1)), (batch, dep_q, 1)
                 )[:, :, 0]
                 frame_audio = jnp.where(t < tp, forced, frame_audio)
-            audio_hist = jax.lax.dynamic_update_slice(
-                audio_hist, frame_audio[:, :, None], (0, 0, t)
-            )
-            return (t_cache, text_hist, audio_hist), (text_tok, frame_audio)
 
-        (_, _, _), (text, audio) = jax.lax.scan(
-            frame, (t_cache, text_hist0, audio_hist0), jnp.arange(n_frames, dtype=jnp.int32)
+            # 6. write the generated frame at slot t+1
+            wpos = (t + 1) % ct
+            ring = ring.at[:, 0, wpos].set(text_tok)
+            ring = ring.at[:, 1 : 1 + dep_q, wpos].set(frame_audio)
+
+            # 7. aligned emission: stream k at (t + 1 - max_delay + delay_k)
+            em = (t + 1 - max_delay + delays_j[: 1 + dep_q]) % ct  # [1+dep_q]
+            out = jnp.take_along_axis(
+                ring[:, : 1 + dep_q], em[None, :, None], axis=2
+            )[:, :, 0]
+            return (t_cache, ring), (out[:, 0], out[:, 1:])
+
+        _, (text, audio) = jax.lax.scan(
+            frame, (t_cache, ring0), jnp.arange(total_steps, dtype=jnp.int32)
         )
+        # emissions are valid once t + 1 > max_delay
+        text = text[max_delay:]
+        audio = audio[max_delay:]
         return text.T, audio.transpose(1, 2, 0)  # [B, T], [B, K, T]
 
 
