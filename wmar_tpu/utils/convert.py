@@ -32,16 +32,27 @@ StateDict = Mapping[str, Array]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, Array]:
-    """Load a torch/safetensors checkpoint to numpy (host-side)."""
+    """Load a torch/safetensors/TorchScript checkpoint to numpy (host-side).
+
+    TorchScript archives (e.g. the released ``syncmodel.jit.pt``,
+    ``syncseal/models/scripted.py``) are opened with ``torch.jit.load`` and
+    their state dict extracted."""
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         return dict(load_file(path))
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    except RuntimeError:
+        sd = torch.jit.load(path, map_location="cpu").state_dict()
+    if not isinstance(sd, dict):  # torch.load of a scripted/eager module
+        sd = sd.state_dict()
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    if isinstance(sd, dict) and isinstance(sd.get("model"), dict):
+        sd = sd["model"]  # mimi .pth packaging (loaders.py:266-268)
     return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v) for k, v in sd.items()}
 
 
