@@ -89,7 +89,13 @@ if "torchvision" not in sys.modules:
     tv = _stub_module("torchvision")
     tvt = _stub_module("torchvision.transforms")
     tvt.Resize = lambda *a, **k: (lambda x: x)
-    tvt.Normalize = lambda *a, **k: (lambda x: x)
+
+    def _Normalize(mean, std, *a, **k):
+        m = torch.tensor(mean).view(1, -1, 1, 1)
+        s = torch.tensor(std).view(1, -1, 1, 1)
+        return lambda x: (x - m.to(x)) / s.to(x)
+
+    tvt.Normalize = _Normalize
     tvt.InterpolationMode = types.SimpleNamespace(BILINEAR=0, NEAREST=1)
     tvt.Compose = lambda fns: (lambda x: x)
     tvt.ToTensor = lambda *a, **k: (lambda x: x)
@@ -97,6 +103,10 @@ if "torchvision" not in sys.modules:
     tvf.resize = lambda x, *a, **k: x
     tvf.perspective = lambda x, *a, **k: x
     tvf.rotate = lambda x, *a, **k: x
+    tvf.InterpolationMode = types.SimpleNamespace(BILINEAR=0, NEAREST=1, BICUBIC=2)
+    tvf.hflip = lambda x: x
+    tvf.crop = lambda x, *a, **k: x
+    tvf.pad = lambda x, *a, **k: x
     tvt.functional = tvf
     tvt.v2 = _stub_module("torchvision.transforms.v2")
     tvt.v2.JPEG = object
@@ -108,6 +118,10 @@ if "torchvision" not in sys.modules:
     tvm.vgg16 = lambda *a, **k: None
     tv.models = tvm
     sys.modules["torchvision.models"] = tvm
+    tvu = _stub_module("torchvision.utils")
+    tvu.save_image = lambda *a, **k: None
+    tv.utils = tvu
+    sys.modules["torchvision.utils"] = tvu
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tvt
     sys.modules["torchvision.transforms.functional"] = tvf
@@ -696,3 +710,69 @@ def test_moshi_generation_vs_reference_lmgen():
     text, audio = ours.generate(n_frames, jax.random.PRNGKey(0), batch=1)
     np.testing.assert_array_equal(np.asarray(text), ref_frames[:, 0])
     np.testing.assert_array_equal(np.asarray(audio), ref_frames[:, 1:])
+
+
+def test_wam_full_embed_detect_vs_reference():
+    """WamExact.embed/detect (normalize -> VAE+msg -> blend -> JND;
+    normalize -> ViT -> pixel decoder) against the reference's own Wam class
+    (models/wam.py:147-244) at tiny config."""
+    from deps.watermark_anything.models.wam import Wam
+    from deps.watermark_anything.models.embedder import VAEEmbedder
+    from deps.watermark_anything.models.extractor import SegmentationExtractor
+    from deps.watermark_anything.modules.jnd import JND
+    from deps.watermark_anything.modules.pixel_decoder import PixelDecoder
+    from deps.watermark_anything.modules.vit import ImageEncoderViT
+    from deps.watermark_anything.data.transforms import normalize_img, unnormalize_img
+
+    from wmar_tpu.sync import wam_exact as wx
+
+    torch.manual_seed(14)
+    enc, dec, msg = _tiny_wam_vae()
+    embedder = VAEEmbedder(enc, dec, msg)
+    vit = ImageEncoderViT(img_size=32, patch_size=8, embed_dim=16, out_chans=16,
+                          depth=2, num_heads=2, window_size=2,
+                          global_attn_indexes=(1,), use_rel_pos=True)
+    with torch.no_grad():
+        for blk in vit.blocks:
+            blk.attn.rel_pos_h.normal_(0, 0.02)
+            blk.attn.rel_pos_w.normal_(0, 0.02)
+    pd = PixelDecoder(embed_dim=16, nbits=4, upscale_stages=[2, 2, 2],
+                      upscale_type="bilinear")
+    detector = SegmentationExtractor(image_encoder=vit, pixel_decoder=pd)
+    jnd = JND(in_channels=1, out_channels=3, blue=True,
+              preprocess=unnormalize_img, postprocess=normalize_img)
+    ref = Wam(embedder, detector, augmenter=None, attenuation=jnd,
+              scaling_w=2.0, scaling_i=1.0, img_size_extractor=32).eval()
+
+    x01 = torch.rand(2, 3, 32, 32)
+    msgs = torch.randint(0, 2, (2, 4))
+    with torch.no_grad():
+        out = ref.embed(normalize_img(x01), msgs)
+        imgs_w01_ref = unnormalize_img(out["imgs_w"]).clamp(0, 1)
+        preds_ref = ref.detect(normalize_img(x01))["preds"]
+
+    cfg = wx.SAMViTConfig(img_size=32, patch_size=8, embed_dim=16, out_chans=16,
+                          depth=2, num_heads=2, window_size=2, global_attn_indexes=(1,))
+    sd = dict(_tiny_wam_embedder_sd())
+    sd.update({f"detector.image_encoder.{k}": v for k, v in _np_sd(vit).items()})
+    sd.update({f"detector.pixel_decoder.{k}": v for k, v in _np_sd(pd).items()})
+    params = wx.convert_wam(sd, vit_cfg=cfg, upscale_stages=(2, 2, 2),
+                            enc_cfg=_TINY_ENC, dec_cfg=_TINY_DEC)
+
+    import flax.linen as nn
+
+    import wmar_tpu.models.vqgan as our_vqgan
+
+    orig = our_vqgan._norm
+    our_vqgan._norm = lambda: nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-6)
+    try:
+        wam = wx.WamExact(params, vit_cfg=cfg, enc_cfg=_TINY_ENC, dec_cfg=_TINY_DEC)
+        x01j = jnp.asarray(x01.numpy().transpose(0, 2, 3, 1))
+        imgs_w = wam.embed(x01j, jnp.asarray(msgs.numpy()))
+        preds = wam.detect(x01j)
+    finally:
+        our_vqgan._norm = orig
+    np.testing.assert_allclose(
+        np.transpose(imgs_w, (0, 3, 1, 2)), imgs_w01_ref.numpy(), atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(preds), preds_ref.numpy(), atol=2e-3)
