@@ -28,7 +28,9 @@ import jax.numpy as jnp
 
 REF = "/root/reference"
 if REF not in sys.path:
-    sys.path.insert(0, REF)
+    # APPEND, not insert: /root/reference contains generate.py / wmar / etc.
+    # that would otherwise shadow this repo's modules for later tests
+    sys.path.append(REF)
 
 # --- light stubs for pip deps the reference imports but never exercises
 # on these paths (timm: DropPath/trunc_normal_ used only at init with
@@ -128,7 +130,7 @@ if "torchvision" not in sys.modules:
 # the inner syncseal package uses absolute `syncseal.*` imports
 SYNC_ROOT = REF + "/syncseal"
 if SYNC_ROOT not in sys.path:
-    sys.path.insert(0, SYNC_ROOT)
+    sys.path.append(SYNC_ROOT)
 
 
 def _np_sd(module):
@@ -382,7 +384,7 @@ def test_syncseal_discriminator_vs_reference():
 def test_moshi_layer_vs_reference():
     """Reference StreamingTransformerLayer (rms_norm, silu gating) at T=1,
     non-streaming, vs our converted block."""
-    sys.path.insert(0, REF + "/wmar_audio")
+    sys.path.append(REF + "/wmar_audio")
     from moshi.modules.transformer import StreamingTransformerLayer
 
     from wmar_tpu.audio.lm import MoshiConfig, _temporal_step
@@ -425,7 +427,7 @@ def test_adm_unet_vs_reference():
     """convert_adm_unet against the reference's actual guided_diffusion
     UNetModel (the DiffPure backbone, utils.py:563-591 loads it with
     256x256_diffusion_uncond.pt)."""
-    sys.path.insert(0, REF + "/deps/saberi_wmr/DiffPure")
+    sys.path.append(REF + "/deps/saberi_wmr/DiffPure")
     from guided_diffusion.unet import UNetModel
 
     from wmar_tpu.augmentations.diffpure import ADMConfig, ADMUNet, convert_adm_unet
@@ -594,7 +596,7 @@ def test_mimi_vs_reference_model():
     """convert_mimi + our Mimi reproduce the reference MimiModel's encode
     codes and decoded waveform at a tiny config (SEANet + causal rope
     bottleneck transformer + learned conv resampling + split RVQ)."""
-    sys.path.insert(0, REF + "/wmar_audio")
+    sys.path.append(REF + "/wmar_audio")
     from moshi.models.compression import MimiModel
     from moshi.modules import SEANetEncoder, SEANetDecoder, transformer as mtr
     from moshi.quantization import SplitResidualVectorQuantizer
@@ -666,7 +668,7 @@ def test_moshi_generation_vs_reference_lmgen():
     """Greedy token trajectories (text + dep_q audio streams, delay-aligned
     emission) match the reference LMGen ring-cache loop with converted
     weights (lm.py:399-647)."""
-    sys.path.insert(0, REF + "/wmar_audio")
+    sys.path.append(REF + "/wmar_audio")
     from moshi.models.lm import LMGen, LMModel
 
     from wmar_tpu.audio.lm import MoshiConfig, MoshiGen, WMConfig
