@@ -778,3 +778,146 @@ def test_wam_full_embed_detect_vs_reference():
         np.transpose(imgs_w, (0, 3, 1, 2)), imgs_w01_ref.numpy(), atol=1e-3
     )
     np.testing.assert_allclose(np.asarray(preds), preds_ref.numpy(), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# score-SDE native ops: our XLA upfirdn2d / fused_bias_act vs the
+# reference's own python-native fallback (the semantics the CUDA kernels
+# implement, score_sde/op/upfirdn2d.py:167-204, fused_act.py:94-120)
+# ---------------------------------------------------------------------------
+
+
+def test_upfirdn2d_vs_reference_native():
+    sys.path.append(REF + "/deps/saberi_wmr/DiffPure")
+    import torch.utils.cpp_extension as _ce
+
+    _orig_load = _ce.load
+    _ce.load = lambda *a, **k: None  # the module JIT-builds CUDA ops at import
+    try:
+        from score_sde.op.upfirdn2d import upfirdn2d_native
+    finally:
+        _ce.load = _orig_load
+
+    from wmar_tpu.ops.upfirdn import upfirdn2d
+
+    torch.manual_seed(15)
+    kernel = torch.randn(4, 4)
+    x = torch.randn(2, 3, 12, 12)
+    for up, down, pad in [(1, 1, (1, 1)), (2, 1, (2, 1)), (1, 2, (2, 2)), (2, 2, (3, 1))]:
+        ref = upfirdn2d_native(x, kernel, up, up, down, down,
+                               pad[0], pad[1], pad[0], pad[1]).numpy()
+        ours = upfirdn2d(
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), jnp.asarray(kernel.numpy()),
+            up=up, down=down, pad=pad,
+        )
+        np.testing.assert_allclose(
+            np.transpose(ours, (0, 3, 1, 2)), ref, atol=1e-4,
+            err_msg=f"up={up} down={down} pad={pad}",
+        )
+
+
+def test_fused_bias_act_vs_reference():
+    """fused_leaky_relu semantics: (x + bias) lrelu * sqrt(2)."""
+    from wmar_tpu.ops.upfirdn import fused_bias_act
+
+    torch.manual_seed(16)
+    x = torch.randn(2, 5, 4, 4)
+    bias = torch.randn(5)
+    ref = (
+        torch.nn.functional.leaky_relu(x + bias.view(1, -1, 1, 1), 0.2) * (2**0.5)
+    ).numpy()
+    ours = fused_bias_act(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), jnp.asarray(bias.numpy()),
+        act="lrelu", alpha=0.2, gain=2**0.5,
+    )
+    np.testing.assert_allclose(np.transpose(ours, (0, 3, 1, 2)), ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Chameleon VQGAN (@512, the standalone torch copy) and MaskGit VQGAN
+# ---------------------------------------------------------------------------
+
+
+def test_chameleon_vqgan_vs_reference():
+    """inference/vqgan.py VQModel (the Anole image tokenizer architecture)
+    encodes/decodes identically through convert_taming_vqgan."""
+    from deps.chameleon.inference.vqgan import VQModel
+
+    from wmar_tpu.models.vqgan import TamingVQGAN, VQGANConfig
+    from wmar_tpu.utils.convert import convert_taming_vqgan
+
+    torch.manual_seed(17)
+    ddconfig = dict(
+        double_z=False, z_channels=32, resolution=32, in_channels=3, out_ch=3,
+        ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[16],
+        dropout=0.0,
+    )
+    ref = VQModel(ddconfig, n_embed=16, embed_dim=32).eval()
+    cfg = VQGANConfig(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(16,), z_channels=32, n_embed=16,
+                      embed_dim=32)
+    x = torch.rand(1, 3, 32, 32) * 2 - 1
+    with torch.no_grad():
+        q, _, info = ref.encode(x)
+        codes_ref = info[2].reshape(1, -1).numpy()
+        rec_ref = ref.decode(q).numpy()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_taming_vqgan(sd, cfg))
+    model = TamingVQGAN(cfg)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    codes = model.apply(variables, xj, method=TamingVQGAN.encode_codes)
+    np.testing.assert_array_equal(np.asarray(codes).reshape(1, -1), codes_ref)
+    rec = model.apply(variables, codes, method=TamingVQGAN.decode_codes)
+    np.testing.assert_allclose(
+        np.transpose(rec, (0, 3, 1, 2)), rec_ref, atol=5e-4
+    )
+
+
+def test_maskgit_vqgan_vs_reference():
+    """deps/rar maskgit_vqgan.py (the RAR tokenizer) through
+    convert_maskgit_vqgan."""
+    from deps.rar.modeling.modules.maskgit_vqgan import Decoder as MGDec
+    from deps.rar.modeling.modules.maskgit_vqgan import Encoder as MGEnc
+    from deps.rar.modeling.modules.maskgit_vqgan import VectorQuantizer as MGQ
+
+    from wmar_tpu.models.maskgit_vqgan import MaskGitVQConfig, MaskGitVQGAN
+    from wmar_tpu.utils.convert import convert_maskgit_vqgan
+
+    class NS(dict):
+        __getattr__ = dict.__getitem__
+
+    conf = NS(
+        channel_mult=[1, 2], num_resolutions=2, num_res_blocks=1,
+        hidden_channels=32, num_channels=3, quantized_embed_dim=16,
+        num_embeddings=8, dropout=0.0, resolution=32, z_channels=16,
+    )
+    torch.manual_seed(18)
+    enc, dec, q = MGEnc(conf).eval(), MGDec(conf).eval(), MGQ(8, 16, 0.25).eval()
+
+    class Wrap(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder, self.decoder, self.quantize = enc, dec, q
+
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        h = enc(x)
+        zq, codes_ref_t, _ = q(h)
+        codes_ref = codes_ref_t.reshape(1, -1).numpy()
+        rec_ref = dec(zq).numpy()
+
+    cfg = MaskGitVQConfig(resolution=32, hidden_channels=32, channel_mult=(1, 2),
+                          num_res_blocks=1, z_channels=16, embed_dim=16, n_embed=8)
+    sd = {k: v.detach().numpy() for k, v in Wrap().state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_maskgit_vqgan(sd, cfg))
+    model = MaskGitVQGAN(cfg)
+    # our API speaks [-1, 1] (the rar_wrapper.py:109-128 conversion); the
+    # raw torch tokenizer operates in [0, 1]
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1)) * 2.0 - 1.0
+    codes = model.apply(variables, xj, method=MaskGitVQGAN.encode_codes)
+    np.testing.assert_array_equal(np.asarray(codes).reshape(1, -1), codes_ref)
+    rec = model.apply(variables, codes, method=MaskGitVQGAN.decode_codes)
+    np.testing.assert_allclose(
+        (np.transpose(rec, (0, 3, 1, 2)) + 1.0) / 2.0,
+        np.clip(rec_ref, 0, 1), atol=5e-4,
+    )
