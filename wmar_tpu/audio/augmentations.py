@@ -1,9 +1,10 @@
 """Audio robustness augmentations, jittable over [B, T, 1] waveforms.
 
 Counterpart of ``wmar_audio/training/augmentations.py`` (speed, echo, noise
-colors, filters, smoothing, amplitude). Compression codecs (MP3/EnCodec/DAC)
-are external-backend slots like the image neural compressors. All params are
-static; stochastic augs take an rng.
+colors, filters, smoothing, amplitude). Compression codecs: MP3 runs on the
+host through the libmp3lame ctypes bridge; EnCodec/DAC/Mimi are exact JAX
+ports fed converted weights. All params are static; stochastic augs take an
+rng.
 """
 
 from __future__ import annotations
@@ -162,35 +163,51 @@ class MimiCompression:
 
 
 class MP3Compression:
-    """MP3 round trip via a host encoder bridge. This image ships no MP3
-    encoder (no ffmpeg/torchaudio/lameenc), so construction raises with a
-    clear message instead of silently no-op'ing; plug a bridge via ``encoder``
-    (fn: np.int16 pcm, sr -> np.int16 pcm)."""
+    """MP3 round trip on the host (the reference's ffmpeg/libmp3lame attack,
+    ``training/augmentations.py:470-500``, grid bitrates 16/64/128 kbps at
+    :629-656). Default bridge is :mod:`wmar_tpu.native.mp3` — a direct
+    ctypes binding of the system ``libmp3lame`` (encoder + HIP decoder)
+    with latency-aligned output; a custom ``encoder``
+    (fn: float32 [B,T], sr, kbps -> float32 [B,T]) can be plugged in."""
 
     def __init__(self, sample_rate: int = 24000, encoder=None):
         self.sample_rate = sample_rate
         if encoder is None:
-            raise RuntimeError(
-                "MP3Compression needs a host encoder bridge (ffmpeg/lameenc/"
-                "torchaudio, none present in this image)."
-            )
+            from wmar_tpu.native import mp3 as _mp3
+
+            if not _mp3.available():
+                raise RuntimeError(
+                    "MP3Compression: libmp3lame not found on this host and no "
+                    "encoder bridge was supplied."
+                )
+            encoder = _mp3.mp3_roundtrip
         self.encoder = encoder
 
     def __call__(self, audio, bitrate_kbps: float, rng=None):
         import numpy as np
 
-        pcm = np.clip(np.asarray(audio) * 32767.0, -32768, 32767).astype(np.int16)
-        out = self.encoder(pcm, self.sample_rate, int(bitrate_kbps))
-        return jnp.asarray(out.astype(np.float32) / 32767.0)
+        x = np.asarray(audio, dtype=np.float32)
+        chan = x.ndim == 3  # [B, T, 1] grid convention
+        if chan:
+            x = x[..., 0]
+        out = self.encoder(x, self.sample_rate, int(bitrate_kbps))
+        return jnp.asarray(out[..., None] if chan else out)
+
+
+def mp3_available() -> bool:
+    from wmar_tpu.native import mp3 as _mp3
+
+    return _mp3.available()
 
 
 def get_validation_augs(sample_rate: int = 24000, frame_size: int = 1920,
                         mimi_codec=None, encodec=None, dac=None,
                         ) -> List[Tuple[str, object, List[float]]]:
     """The audio eval grid (``training/augmentations.py:629-656``): every
-    reference family that is computable in this image, same strengths.
-    TimeStretch is commented out in the reference's own grid; MP3 needs a
-    host encoder bridge. ``encodec``/``dac`` take converted
+    reference family at the same strengths, including MP3 compression at
+    16/64/128 kbps via the libmp3lame bridge (auto-skipped only if the host
+    lacks the library). TimeStretch is commented out in the reference's own
+    grid. ``encodec``/``dac`` take converted
     :class:`wmar_tpu.audio.codecs.CodecCompression` instances (exact ports);
     ``mimi_codec`` adds a Mimi round-trip slot."""
     frame_ms = 1000 * frame_size / sample_rate  # 80 ms
@@ -217,6 +234,9 @@ def get_validation_augs(sample_rate: int = 24000, frame_size: int = 1920,
          [frame_ms / 8, frame_ms / 4, frame_ms / 2]),
         ("temporal-crop", lambda x, p, r: temporal_crop(x, p, r), [0.5, 0.7, 0.9]),
     ]
+    if mp3_available():
+        mp3 = MP3Compression(sample_rate)
+        augs.append(("mp3-compression", lambda x, p, r: mp3(x, p), [16, 64, 128]))
     if mimi_codec is not None:
         augs.append(("mimi-compression", lambda x, p, r: mimi_codec(x), [0.0]))
     if encodec is not None:
