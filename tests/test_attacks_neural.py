@@ -91,9 +91,16 @@ def test_diffusers_flux_no_quant_conv(rng):
     assert nc(x).shape == x.shape
 
 
-def test_dc_ae_is_a_loud_gap():
-    with pytest.raises(RandomWeightsError, match="not ported"):
-        NeuralCompression.from_name("diffusers-deep-compression", allow_random=True)
+def test_dc_ae_dispatch(rng):
+    """DC-AE completes the 22-codec bank: the diffusers-deep-compression name
+    dispatches to the EfficientViT port and refuses silent random weights."""
+    with pytest.raises(RandomWeightsError, match="no weights"):
+        NeuralCompression.from_name("diffusers-deep-compression")
+    nc = NeuralCompression.from_name("diffusers-deep-compression", tiny=(0, 0))
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, 32, 32, 3)).astype(np.float32))
+    out, bpp = nc(x, return_bpp=True)
+    assert out.shape == x.shape
+    assert float(bpp) == 1.0  # the reference's nominal DC-AE bpp
 
 
 def test_init_params_match_converted_shapes():

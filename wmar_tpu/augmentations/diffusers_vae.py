@@ -13,8 +13,10 @@ State-dict layout converted (diffusers naming):
 ``quant_conv``/``post_quant_conv`` (absent for FLUX), and the mirrored
 ``decoder.up_blocks...`` tree.
 
-The DC-AE (EfficientViT) architecture is NOT ported yet; requesting it
-raises with a clear message instead of silently substituting random weights.
+The DC-AE (EfficientViT) architecture lives in
+:mod:`wmar_tpu.augmentations.dcae` and is dispatched from here for the
+``diffusers-deep-compression`` name, completing the reference's 22-codec
+bank.
 """
 
 from __future__ import annotations
@@ -295,13 +297,18 @@ class DiffusersCompression:
     resize to a multiple of 16, VAE round trip, resize back; bpp is the
     model's nominal value (neuralcompression.py:185-225)."""
 
-    def __init__(self, name: str, cfg: KLVAEConfig, params, random_weights=False):
+    def __init__(self, name: str, cfg, params, random_weights=False):
         self.name = name
         self.cfg = cfg
         self.params = jax.tree.map(jnp.asarray, params)
         self.random_weights = random_weights
         self.bpp = cfg.nominal_bpp
-        self._fn = jax.jit(lambda p, x, r: kl_vae_forward(p, cfg, x, r))
+        if isinstance(cfg, KLVAEConfig):
+            self._fn = jax.jit(lambda p, x, r: kl_vae_forward(p, cfg, x, r))
+        else:  # DCAEConfig: deterministic round trip, rng unused
+            from wmar_tpu.augmentations.dcae import dcae_roundtrip
+
+            self._fn = jax.jit(lambda p, x, r: dcae_roundtrip(p, cfg, x))
 
     def __call__(self, imgs01, return_bpp: bool = False, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -321,11 +328,8 @@ class DiffusersCompression:
                   tiny=False):
         from wmar_tpu.augmentations.neural import RandomWeightsError
 
-        if "deep-compression" in name:
-            raise RandomWeightsError(
-                "the DC-AE (EfficientViT) architecture is not ported yet; "
-                "use the other 21 codecs or contribute the port."
-            )
+        if "deep-compression" in name or "dc-ae" in name:
+            return _dcae_from_name(name, weights_dir, allow_random, tiny)
         cfg = KLVAEConfig.for_name(name, tiny=tiny)
         params, random_weights = None, True
         if weights_dir:
@@ -347,3 +351,36 @@ class DiffusersCompression:
             if not tiny:
                 print(f"WARNING: {name} running with RANDOM weights.")
         return DiffusersCompression(name, cfg, params, random_weights and not tiny)
+
+
+def _dcae_from_name(name, weights_dir, allow_random, tiny):
+    """Build the reference's DeepCompressionAE slot
+    (``mit-han-lab/dc-ae-f64c128-in-1.0-diffusers``, nominal bpp 1): converts
+    a raw diffusers state dict on the fly via the shape-driven
+    :func:`wmar_tpu.augmentations.dcae.convert_dcae`."""
+    import os as _os
+
+    from wmar_tpu.augmentations.dcae import DCAEConfig, convert_dcae, init_dcae_params
+    from wmar_tpu.augmentations.neural import RandomWeightsError
+
+    params, cfg = None, None
+    if weights_dir:
+        for ext in (".safetensors", ".bin", ".pth"):
+            path = _os.path.join(weights_dir, name + ext)
+            if _os.path.exists(path):
+                from wmar_tpu.utils.convert import load_torch_state_dict
+
+                params, cfg = convert_dcae(load_torch_state_dict(path))
+                break
+    random_weights = params is None
+    if random_weights:
+        if not allow_random and not tiny:
+            raise RandomWeightsError(
+                f"no weights for diffusers codec '{name}' in {weights_dir!r}; "
+                "pass allow_random=True to acknowledge a destructive slot."
+            )
+        cfg = DCAEConfig.tiny(deep_stem=True)
+        params = init_dcae_params(0, cfg)
+        if not tiny:
+            print(f"WARNING: {name} running with RANDOM weights.")
+    return DiffusersCompression(name, cfg, params, random_weights and not tiny)
