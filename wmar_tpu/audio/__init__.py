@@ -1,5 +1,16 @@
-"""Audio watermarking case study: Mimi codec + Moshi-style LM + samplers."""
+"""Audio watermarking case study: Mimi codec + Moshi LM + samplers +
+conditioners."""
 
+from wmar_tpu.audio.conditioners import (
+    ConditionFuser,
+    ConditionProvider,
+    LUTConditionerConfig,
+    cfg_pair,
+    convert_conditioners,
+    init_lut_params,
+    lut_condition,
+    tokenize_lut,
+)
 from wmar_tpu.audio.lm import MoshiConfig, MoshiGen, WMConfig, init_moshi_params
 from wmar_tpu.audio.mimi import MIMI_V0_1, Mimi, MimiConfig
 from wmar_tpu.audio.wm import (
@@ -15,6 +26,14 @@ from wmar_tpu.audio.wm import (
 )
 
 __all__ = [
+    "ConditionFuser",
+    "ConditionProvider",
+    "LUTConditionerConfig",
+    "cfg_pair",
+    "convert_conditioners",
+    "init_lut_params",
+    "lut_condition",
+    "tokenize_lut",
     "MIMI_V0_1",
     "Mimi",
     "MimiConfig",

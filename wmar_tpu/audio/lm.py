@@ -266,24 +266,34 @@ class MoshiGen:
         prompt_codes: Optional[jnp.ndarray] = None,
         text_prompt: Optional[jnp.ndarray] = None,
         other_codes: Optional[jnp.ndarray] = None,
+        condition_sum: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Like :meth:`generate`, plus ``other_codes [B, n_q - dep_q, T]`` —
         the user/input audio streams fed per frame (the reference's
-        ``LMGen.step(input_tokens)``); zeros when omitted."""
+        ``LMGen.step(input_tokens)``); zeros when omitted.
+
+        ``condition_sum [B, 1, D]`` (or [B, D]) is the fused sum condition
+        added to the temporal-transformer input every step — the reference's
+        ``fuser.get_sum(condition_tensors)`` path (``lm.py:302-318,471-482``);
+        build it with :class:`wmar_tpu.audio.conditioners.ConditionProvider` +
+        :class:`~wmar_tpu.audio.conditioners.ConditionFuser`."""
         key = (n_frames, batch,
                None if prompt_codes is None else tuple(prompt_codes.shape),
                None if text_prompt is None else tuple(text_prompt.shape),
-               None if other_codes is None else tuple(other_codes.shape))
+               None if other_codes is None else tuple(other_codes.shape),
+               None if condition_sum is None else tuple(condition_sum.shape))
         fn = self._jit_cache.get(key)
         if fn is None:
-            def build(params, rng, prompt_codes, text_prompt, other_codes):
+            def build(params, rng, prompt_codes, text_prompt, other_codes,
+                      condition_sum):
                 return self._generate_impl(
                     params, n_frames, rng, batch, prompt_codes, text_prompt,
-                    other_codes,
+                    other_codes, condition_sum,
                 )
 
             fn = self._jit_cache[key] = jax.jit(build)
-        return fn(self.params, rng, prompt_codes, text_prompt, other_codes)
+        return fn(self.params, rng, prompt_codes, text_prompt, other_codes,
+                  condition_sum)
 
     def _generate_impl(
         self,
@@ -294,6 +304,7 @@ class MoshiGen:
         prompt_codes: Optional[jnp.ndarray],
         text_prompt: Optional[jnp.ndarray],
         other_codes: Optional[jnp.ndarray] = None,
+        condition_sum: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """LMGen.step semantics (``moshi/models/lm.py:493-610``): a ring
         cache of size max_delay + 2 holds the *model input* per step per
@@ -345,10 +356,14 @@ class MoshiGen:
             ring = ring.at[:, :, pos].set(jnp.where(seed[None, :], initial[None, :], cur))
             inp = ring[:, :, pos]  # [B, 1 + n_in]
 
-            # 3. temporal transformer on the summed embeddings
+            # 3. temporal transformer on the summed embeddings (+ the fused
+            # sum condition, added every step like the reference's
+            # LMModel.forward with sum_condition, lm.py:302-318)
             x = p["text_emb"][inp[:, 0]]
             for s in range(n_in):
                 x = x + p["audio_emb"][s * card1 + inp[:, 1 + s]]
+            if condition_sum is not None:
+                x = x + condition_sum.reshape(batch, -1).astype(x.dtype)
             h, t_cache = _temporal_step(p["temporal"], cfg, x, t_cache, t)
 
             # 4. text sampling (wm context = the last ngram *input* text
