@@ -1,0 +1,252 @@
+"""FID scorer: InceptionV3 (FID variant) parity + Frechet distance.
+
+The torch oracle re-states pytorch-fid's InceptionV3 (torchvision topology +
+the FID pool quirks) at 1/8 width with the released state-dict naming, so
+``convert_inception`` is exercised on the real layout.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from wmar_tpu.eval.fid import (
+    compute_statistics,
+    convert_inception,
+    frechet_distance,
+    inception_pool3,
+)
+
+D = 8  # width divisor vs the real net
+
+
+def c(n):
+    return n // D
+
+
+class BasicConv2d(nn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class InceptionA(nn.Module):
+    def __init__(self, cin, pf):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, c(64), kernel_size=1)
+        self.branch5x5_1 = BasicConv2d(cin, c(48), kernel_size=1)
+        self.branch5x5_2 = BasicConv2d(c(48), c(64), kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = BasicConv2d(cin, c(64), kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(c(64), c(96), kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(c(96), c(96), kernel_size=3, padding=1)
+        self.branch_pool = BasicConv2d(cin, pf, kernel_size=1)
+
+    def forward(self, x):
+        bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)  # FID variant
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch5x5_2(self.branch5x5_1(x)),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            self.branch_pool(bp),
+        ], 1)
+
+
+class InceptionB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = BasicConv2d(cin, c(384), kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = BasicConv2d(cin, c(64), kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(c(64), c(96), kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(c(96), c(96), kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            F.max_pool2d(x, 3, 2),
+        ], 1)
+
+
+class InceptionC(nn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, c(192), kernel_size=1)
+        self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = BasicConv2d(c7, c(192), kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = BasicConv2d(c7, c(192), kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = BasicConv2d(cin, c(192), kernel_size=1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_1(x)
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(
+            self.branch7x7dbl_3(self.branch7x7dbl_2(bd))))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, 1, 1, count_include_pad=False))
+        return torch.cat([self.branch1x1(x), b7, bd, bp], 1)
+
+
+class InceptionD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = BasicConv2d(cin, c(192), kernel_size=1)
+        self.branch3x3_2 = BasicConv2d(c(192), c(320), kernel_size=3, stride=2)
+        self.branch7x7x3_1 = BasicConv2d(cin, c(192), kernel_size=1)
+        self.branch7x7x3_2 = BasicConv2d(c(192), c(192), kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = BasicConv2d(c(192), c(192), kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = BasicConv2d(c(192), c(192), kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3_2(self.branch3x3_1(x)),
+            self.branch7x7x3_4(self.branch7x7x3_3(
+                self.branch7x7x3_2(self.branch7x7x3_1(x)))),
+            F.max_pool2d(x, 3, 2),
+        ], 1)
+
+
+class InceptionE(nn.Module):
+    def __init__(self, cin, max_pool=False):
+        super().__init__()
+        self.max_pool = max_pool
+        self.branch1x1 = BasicConv2d(cin, c(320), kernel_size=1)
+        self.branch3x3_1 = BasicConv2d(cin, c(384), kernel_size=1)
+        self.branch3x3_2a = BasicConv2d(c(384), c(384), kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = BasicConv2d(c(384), c(384), kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = BasicConv2d(cin, c(448), kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(c(448), c(384), kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = BasicConv2d(c(384), c(384), kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = BasicConv2d(c(384), c(384), kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = BasicConv2d(cin, c(192), kernel_size=1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.max_pool:  # FIDInceptionE_2: the TF port max-pools here
+            bp = F.max_pool2d(x, 3, 1, 1)
+        else:
+            bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+        return torch.cat([self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+
+class TinyFIDInception(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, c(32), kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = BasicConv2d(c(32), c(32), kernel_size=3)
+        self.Conv2d_2b_3x3 = BasicConv2d(c(32), c(64), kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = BasicConv2d(c(64), c(80), kernel_size=1)
+        self.Conv2d_4a_3x3 = BasicConv2d(c(80), c(192), kernel_size=3)
+        self.Mixed_5b = InceptionA(c(192), c(32))
+        self.Mixed_5c = InceptionA(c(256), c(64))
+        self.Mixed_5d = InceptionA(c(288), c(64))
+        self.Mixed_6a = InceptionB(c(288))
+        self.Mixed_6b = InceptionC(c(768), c(128))
+        self.Mixed_6c = InceptionC(c(768), c(160))
+        self.Mixed_6d = InceptionC(c(768), c(160))
+        self.Mixed_6e = InceptionC(c(768), c(192))
+        self.Mixed_7a = InceptionD(c(768))
+        self.Mixed_7b = InceptionE(c(1280))
+        self.Mixed_7c = InceptionE(c(2048), max_pool=True)
+
+    def forward(self, x):
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        for name in ["Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                     "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                     "Mixed_7c"]:
+            x = getattr(self, name)(x)
+        return F.adaptive_avg_pool2d(x, 1).flatten(1)
+
+
+def _randomized(seed=0):
+    """Random weights that keep signal flowing through all 17 conv stages:
+    default (kaiming) conv init + near-identity BN stats. Aggressive uniform
+    re-init makes the features input-independent (ReLU death), which would
+    turn the parity test into a comparison of constants."""
+    torch.manual_seed(seed)
+    model = TinyFIDInception().eval()
+    g = torch.Generator().manual_seed(seed + 1)
+    with torch.no_grad():
+        for name, p in model.state_dict().items():
+            if name.endswith("running_var"):
+                p.copy_(torch.empty_like(p).uniform_(0.8, 1.2, generator=g))
+            elif name.endswith(("running_mean", "bn.bias")):
+                p.copy_(torch.empty_like(p).uniform_(-0.1, 0.1, generator=g))
+            elif name.endswith("bn.weight"):
+                p.copy_(torch.empty_like(p).uniform_(0.8, 1.2, generator=g))
+            elif name.endswith("conv.weight"):
+                # he-normal: unit ReLU gain so inputs still reach pool3
+                fan_in = p.shape[1] * p.shape[2] * p.shape[3]
+                p.copy_(torch.randn(p.shape, generator=g) * (2.0 / fan_in) ** 0.5)
+    return model
+
+
+def test_inception_pool3_parity():
+    model = _randomized()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+    params = jax.tree.map(jnp.asarray, convert_inception(sd))
+    x = torch.rand(2, 3, 75, 75, generator=torch.Generator().manual_seed(3)) * 2 - 1
+    with torch.no_grad():
+        want = model(x).numpy()
+    got = np.asarray(inception_pool3(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_frechet_identical_is_zero():
+    rng = np.random.default_rng(0)
+    mu = rng.standard_normal(8)
+    a = rng.standard_normal((8, 8))
+    sigma = a @ a.T + np.eye(8)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-8
+
+
+def test_frechet_diagonal_closed_form():
+    """For diagonal covariances FID has a closed form:
+    ||dmu||^2 + sum(s1 + s2 - 2 sqrt(s1 s2))."""
+    rng = np.random.default_rng(1)
+    mu1, mu2 = rng.standard_normal(6), rng.standard_normal(6)
+    d1, d2 = rng.uniform(0.5, 2.0, 6), rng.uniform(0.5, 2.0, 6)
+    want = float(((mu1 - mu2) ** 2).sum() + (d1 + d2 - 2 * np.sqrt(d1 * d2)).sum())
+    got = frechet_distance(mu1, np.diag(d1), mu2, np.diag(d2))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_statistics_and_separation():
+    """End-to-end tiny FID: same-distribution images score far lower than
+    disjoint-distribution images."""
+    model = _randomized(7)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+    params = jax.tree.map(jnp.asarray, convert_inception(sd))
+    rng = np.random.default_rng(2)
+    base = rng.uniform(0.3, 0.7, (24, 80, 80, 3)).astype(np.float32)
+    same = np.clip(base + rng.normal(0, 0.02, base.shape).astype(np.float32), 0, 1)
+    diff = np.clip(base * 0.2, 0, 1)  # darkened: a real distribution shift
+    m0, s0 = compute_statistics(params, base, batch_size=16)
+    m1, s1 = compute_statistics(params, same, batch_size=16)
+    m2, s2 = compute_statistics(params, diff, batch_size=16)
+    fid_same = frechet_distance(m0, s0, m1, s1)
+    fid_diff = frechet_distance(m0, s0, m2, s2)
+    assert fid_diff > 5 * max(fid_same, 1e-6), (fid_same, fid_diff)
