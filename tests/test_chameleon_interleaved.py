@@ -167,11 +167,16 @@ def test_fused_interleaved_watermarked(wrapper):
             if img:
                 break
         assert img, "no image segment generated in 12 seeds"
-        codes = jnp.asarray(np.asarray(img[0]).reshape(1, -1))
-        from wmar_tpu.core.detect import detect
+        codes = jnp.asarray(np.asarray(img[0]).reshape(-1))
+        from wmar_tpu.core.detect import score_codes
 
-        pval = float(detect(spec, wrapper.greenlist, codes)[0])
-        assert pval < 0.05, pval
+        # the p-value depends on how many *unique* tokens dedup leaves (h=0
+        # scores unique ids), so assert the green rate itself: delta=8 should
+        # push essentially every scored token green
+        n_green, n_scored = score_codes(spec, wrapper.greenlist, codes)
+        assert int(n_scored) > 0
+        rate = float(n_green) / float(n_scored)
+        assert rate >= 0.9, (rate, int(n_green), int(n_scored))
     finally:
         wrapper.set_watermarker(None)
 
@@ -209,3 +214,46 @@ def test_fused_interleaved_32layer_tp(tp):
     assert any(k == "image_seg" for k, _ in segs) or any(
         k == "text_seg" for k, _ in segs
     )
+
+
+def test_fused_matches_reprefill_greedy():
+    """With compacted per-row rope positions, the fused one-scan path must be
+    token-identical to the segment-wise re-prefill path under greedy
+    decoding (the reference's own decode semantics,
+    ``deps/chameleon/inference/chameleon.py:392-445``)."""
+    from wmar_tpu.models.chameleon_interleaved import sample_interleaved_fused
+
+    opts = TextGenOptions(max_gen_len=64, greedy=True)
+    gen = GenParams(greedy=True)
+
+    def flat(segs):
+        out = []
+        for kind, toks in segs:
+            arr = np.asarray(toks).reshape(-1).tolist()
+            out += [int(t) for t in arr]
+            if kind == "image_seg":
+                out += [VOCAB.eoi_id]
+        return out
+
+    saw_image = False
+    for seed in range(8):
+        params = init_llama_params(jax.random.PRNGKey(seed), LCFG)
+        vq = TamingVQGAN(TINY_VQ)
+        vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+        w = ChameleonARMM(
+            params, LCFG, VOCAB, vq_params, TINY_VQ,
+            tokenizer=lambda s: [6 + (ord(c) % 20) for c in s[:4]],
+            image_seq_len=16, cache_dtype=jnp.float32,
+        )
+        segs_ref = sample_interleaved(w, "ab", gen, text_opts=opts, max_images=1,
+                                      rng=jax.random.PRNGKey(0))
+        segs_fused = sample_interleaved_fused(w, "ab", gen, text_opts=opts,
+                                              max_images=1,
+                                              rng=jax.random.PRNGKey(0))
+        a, b = flat(segs_ref), flat(segs_fused)
+        n = min(len(a), len(b))
+        assert a[:n] == b[:n], (seed, a[:n], b[:n])
+        if any(k == "image_seg" for k, _ in segs_ref):
+            saw_image = True
+            break
+    assert saw_image, "no greedy run emitted an image segment in 8 seeds"

@@ -199,10 +199,11 @@ def sample_interleaved_fused(
     token history; per-row *key masks* reproduce each row's context
     (full | image-tokens-only | [bos]+current-<boi>) instead of the
     reference's fresh decoders per segment
-    (``deps/chameleon/inference/chameleon.py:392-445``). Divergence from
-    the reference: the conditional rows keep global rope positions rather
-    than the compacted positions a re-prefill would assign (relative
-    positions within each image segment are identical).
+    (``deps/chameleon/inference/chameleon.py:392-445``). Each row carries
+    its own compacted rope position counter (the rank of a token within
+    that row's valid set), so queries and keys are rotated at exactly the
+    positions a re-prefill of the row's subset sequence would assign —
+    including the uncond row's reset to [bos, <boi>] at each new segment.
 
     Modal switching is data-dependent state inside the scan (`mode` flag +
     counters), exactly the "masked processors + state flags" design SURVEY
@@ -250,7 +251,13 @@ def sample_interleaved_fused(
         key_mask0 = key_mask0.at[1, :lp].set(prow1)
         key_mask0 = key_mask0.at[2, :lp].set(prow2)
         toks3 = jnp.tile(prompt_tokens[None], (3, 1))
-        positions = jnp.tile(jnp.arange(lp)[None], (3, 1))
+        # per-row compacted positions: rank within the row's valid subset
+        # (what a re-prefill of that row's own sequence would assign)
+        positions = jnp.stack([
+            jnp.arange(lp, dtype=jnp.int32),
+            jnp.cumsum(prow1.astype(jnp.int32)) - 1,
+            jnp.cumsum(prow2.astype(jnp.int32)) - 1,
+        ]).clip(0)  # invalid slots are key-masked; their rope angle is moot
         logits, cache = llama_forward(
             llama_params, cfg, toks3, cache, 0, positions, key_mask=key_mask0
         )
@@ -280,18 +287,21 @@ def sample_interleaved_fused(
             )[0]
             tok_img = warp_and_sample(
                 k, li[None], temperature=temp_img, top_p=top_p_img,
+                greedy=gen_params.greedy,
             )[0]
             return jnp.where(mode == 0, tok_text, tok_img)
 
         def body(carry, step):
             (cache, key_mask, prev, mode, img_buf, img_count, images_done,
-             counts, done) = carry
+             counts, done, pos_ctr) = carry
             wp = lp + step
             toks = jnp.tile(prev[None, None], (3, 1))
-            pos = jnp.full((3, 1), wp, jnp.int32)
+            # each row rotates this token at its own compacted position
+            pos = pos_ctr[:, None]
             last3, cache = llama_forward(
                 llama_params, cfg, toks, cache, wp, pos, key_mask=key_mask
             )
+            pos_ctr = pos_ctr + key_mask[:, wp].astype(jnp.int32)
             tok = process(last3[:, -1], mode, counts, img_buf, img_count,
                           images_done, step)
             # forced <eoi> once the image segment is complete
@@ -329,12 +339,18 @@ def sample_interleaved_fused(
             images_done = images_done + jnp.where(is_eoi, 1, 0)
             mode = jnp.where(is_boi, 1, jnp.where(is_eoi, 0, mode))
             done = done | is_eos
+            # uncond-row reset: its valid set collapses to {bos}, so its next
+            # token (the <boi> just written) sits at compacted position 1
+            pos_ctr = jnp.where(is_boi, pos_ctr.at[2].set(1), pos_ctr)
             carry = (cache, key_mask, tok, mode, img_buf, img_count,
-                     images_done, counts, done)
+                     images_done, counts, done, pos_ctr)
             return carry, tok
 
         img_buf0 = jnp.zeros((image_seq_len,), jnp.int32)
-        counts0 = jnp.zeros((vocab.vocab_size,), jnp.int32)
+        # repetition penalty covers the full past INCLUDING the prompt (the
+        # reference penalizes every id in input_ids; ChameleonTextSampler
+        # does the same via its prompt histogram)
+        counts0 = jnp.zeros((vocab.vocab_size,), jnp.int32).at[prompt_tokens].add(1)
         # first sampled token comes from the prefill logits; apply the same
         # transition logic the scan body uses (a <boi> here switches mode)
         tok0 = process(last, jnp.int32(0), counts0, img_buf0, jnp.int32(0),
@@ -349,9 +365,14 @@ def sample_interleaved_fused(
             lambda m: m,
             key_mask1,
         )
+        pos_ctr0 = jnp.stack([
+            jnp.int32(lp),
+            prow1.sum().astype(jnp.int32),
+            jnp.where(is_boi0, 1, prow2.sum()).astype(jnp.int32),
+        ])
         carry0 = (cache, key_mask1, tok0, jnp.where(is_boi0, 1, 0).astype(jnp.int32),
                   img_buf0, jnp.int32(0), jnp.int32(0), counts0.at[tok0].add(1),
-                  tok0 == vocab.eos_id)
+                  tok0 == vocab.eos_id, pos_ctr0)
         _, toks = jax.lax.scan(body, carry0, jnp.arange(budget - 1, dtype=jnp.int32))
         return jnp.concatenate([tok0[None], toks])
 
