@@ -69,7 +69,13 @@ def main():
     vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3)))
     vq_params = jax.tree.map(lambda x: x.astype(dtype), vq_params)
 
-    wrapper = RarARMM(rar_params, rar_cfg, vq_params, vq_cfg, cache_dtype=dtype)
+    # int8 KV cache by default: decode attention is cache-read bandwidth
+    # bound, so halving the cache bytes is the big serving lever (set
+    # BENCH_CACHE=bf16 to compare). Quantization noise ~0.4%/token absmax;
+    # greedy tokens match the fp cache at test scale.
+    cache_env = os.environ.get("BENCH_CACHE", "int8")
+    cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32}[cache_env]
+    wrapper = RarARMM(rar_params, rar_cfg, vq_params, vq_cfg, cache_dtype=cache_dtype)
     spec = WatermarkSpec(
         vocab_size=rar_cfg.codebook_size,
         seed_strategy=SeedStrategy.LINEAR,

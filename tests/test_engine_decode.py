@@ -150,3 +150,65 @@ def test_phased_decode_sampled_matches(gpt):
         phases=3, cache_len_for_step=lambda s: 1 + s,
     )
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t3))
+
+
+class TestQuantKVCache:
+    """int8 KV cache: the serving-path bandwidth lever (PERFORMANCE.md)."""
+
+    def test_zeros_dispatch_and_roundtrip(self):
+        from wmar_tpu.engine.kvcache import KVCache, QuantKVCache
+
+        c = KVCache.zeros(1, 2, 4, 8, 16, dtype=jnp.int8)
+        assert isinstance(c, QuantKVCache)
+        rng = np.random.default_rng(0)
+        k_new = jnp.asarray(rng.standard_normal((2, 4, 3, 16)).astype(np.float32))
+        v_new = jnp.asarray(2.5 * rng.standard_normal((2, 4, 3, 16)).astype(np.float32))
+        c = c.write(0, 2, k_new, v_new)
+        k, v = c.layer(0)
+        assert k.dtype == jnp.bfloat16
+        for got, want in ((k, k_new), (v, v_new)):
+            err = np.abs(np.asarray(got[:, :, 2:5], np.float32) - np.asarray(want))
+            rel = err.max() / np.abs(np.asarray(want)).max()
+            assert rel < 0.01, rel
+        # untouched slots stay zero
+        assert np.asarray(k[:, :, :2]).max() == 0.0
+
+    def test_decode_attention_close_to_float_cache(self):
+        from wmar_tpu.engine.attention import decode_attention
+        from wmar_tpu.engine.kvcache import KVCache
+
+        rng = np.random.default_rng(1)
+        cf = KVCache.zeros(1, 2, 4, 8, 16, dtype=jnp.float32)
+        cq = KVCache.zeros(1, 2, 4, 8, 16, dtype=jnp.int8)
+        for t in range(6):
+            k_new = jnp.asarray(rng.standard_normal((2, 4, 1, 16)).astype(np.float32))
+            v_new = jnp.asarray(rng.standard_normal((2, 4, 1, 16)).astype(np.float32))
+            cf = cf.write(0, t, k_new, v_new)
+            cq = cq.write(0, t, k_new, v_new)
+        q = jnp.asarray(rng.standard_normal((2, 4, 1, 16)).astype(np.float32))
+        of = decode_attention(q, *cf.layer(0), jnp.int32(6))
+        oq = decode_attention(q, *cq.layer(0), jnp.int32(6))
+        np.testing.assert_allclose(np.asarray(of, np.float32),
+                                   np.asarray(oq, np.float32), atol=0.05)
+
+    def test_rar_greedy_matches_float_cache(self):
+        from wmar_tpu.models import RARConfig, RARSampler, init_rar_params
+
+        cfg = RARConfig(embed_dim=64, depth=2, num_heads=2, intermediate_size=128,
+                        image_seq_len=16, codebook_size=64, num_classes=10)
+        params = init_rar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        cids = jnp.arange(2, dtype=jnp.int32)
+
+        def gen(cache_dtype):
+            s = RARSampler(params, cfg, cids, guidance_scale=4.0, cache_dtype=cache_dtype)
+            _, cache = s.prefill()
+            prev = jnp.zeros((2,), jnp.int32)
+            toks = []
+            for t in range(16):
+                logits, cache = s.step_fn(cache, prev, jnp.int32(t))
+                prev = jnp.argmax(logits, -1).astype(jnp.int32)
+                toks.append(np.asarray(prev))
+            return np.stack(toks, 1)
+
+        agreement = (gen(jnp.float32) == gen(jnp.int8)).mean()
+        assert agreement >= 0.95, agreement

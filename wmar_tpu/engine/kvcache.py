@@ -27,6 +27,10 @@ class KVCache:
 
     @classmethod
     def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int, dtype=jnp.float32):
+        if dtype == jnp.int8:
+            # decode attention is cache-read bandwidth bound (PERFORMANCE.md);
+            # int8 halves the bytes vs bf16 at ~1/254 quantization noise
+            return QuantKVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
         shape = (n_layers, batch, n_heads, max_len, head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
@@ -60,4 +64,82 @@ class KVCache:
         return KVCache(
             k=jax.lax.dynamic_update_slice(self.k, prefix.k.astype(self.k.dtype), zeros),
             v=jax.lax.dynamic_update_slice(self.v, prefix.v.astype(self.v.dtype), zeros),
+        )
+
+
+@flax.struct.dataclass
+class QuantKVCache:
+    """int8 KV cache with per-(token, head) absmax scales.
+
+    Same interface as :class:`KVCache`; ``layer()`` returns dequantized bf16
+    tensors whose elementwise producer XLA fuses into the attention dots, so
+    the HBM traffic per decode step is the int8 payload + scales — about half
+    of a bf16 cache. Decode attention is cache-read bandwidth bound on this
+    workload (PERFORMANCE.md: 1.9 s of a 2.78 s RAR-XL batch), which makes
+    this the serving-path lever the reference reaches for with paged fp16
+    caches + CUDA graphs. Not bit-exact vs a float cache: quantization noise
+    is ~0.4% of each token's absmax, far below sampling temperature scales.
+
+    k, v: int8 ``[L, B, H, T, D]``; k_scale, v_scale: bf16 ``[L, B, H, T]``.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: jnp.ndarray
+    v_scale: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int):
+        shape = (n_layers, batch, n_heads, max_len, head_dim)
+        sshape = shape[:-1]
+        return cls(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(sshape, jnp.bfloat16), v_scale=jnp.zeros(sshape, jnp.bfloat16),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @staticmethod
+    def _quantize(x: jnp.ndarray):
+        """[B, H, t, D] -> (int8 payload, bf16 per-(token, head) scale)."""
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+        return q.astype(jnp.int8), scale.astype(jnp.bfloat16)
+
+    def write(self, layer: int, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "QuantKVCache":
+        kq, ks = self._quantize(k_new)
+        vq, vs = self._quantize(v_new)
+        idx = (jnp.int32(layer), jnp.int32(0), jnp.int32(0), jnp.asarray(pos, jnp.int32), jnp.int32(0))
+        sidx = idx[:-1]
+        return QuantKVCache(
+            k=jax.lax.dynamic_update_slice(self.k, kq[None], idx),
+            v=jax.lax.dynamic_update_slice(self.v, vq[None], idx),
+            k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks[None], sidx),
+            v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs[None], sidx),
+        )
+
+    def layer(self, layer: int):
+        """Dequantized full-length K/V for one layer (bf16): the multiply
+        fuses into the downstream attention einsum, so HBM reads stay int8."""
+        k = self.k[layer].astype(jnp.bfloat16) * self.k_scale[layer][..., None]
+        v = self.v[layer].astype(jnp.bfloat16) * self.v_scale[layer][..., None]
+        return k, v
+
+    def slice_to(self, t: int) -> "QuantKVCache":
+        return QuantKVCache(
+            k=self.k[:, :, :, :t], v=self.v[:, :, :, :t],
+            k_scale=self.k_scale[:, :, :, :t], v_scale=self.v_scale[:, :, :, :t],
+        )
+
+    def merge_prefix(self, prefix: "QuantKVCache") -> "QuantKVCache":
+        zeros5 = (jnp.int32(0),) * 5
+        zeros4 = (jnp.int32(0),) * 4
+        return QuantKVCache(
+            k=jax.lax.dynamic_update_slice(self.k, prefix.k, zeros5),
+            v=jax.lax.dynamic_update_slice(self.v, prefix.v, zeros5),
+            k_scale=jax.lax.dynamic_update_slice(self.k_scale, prefix.k_scale, zeros4),
+            v_scale=jax.lax.dynamic_update_slice(self.v_scale, prefix.v_scale, zeros4),
         )
