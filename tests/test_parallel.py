@@ -36,3 +36,28 @@ def test_dp_sharded_generation_matches_single_device():
         imgs = wrapper.codes_to_images(out)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
     assert imgs.shape == (8, 8, 8, 3)
+
+
+def test_parse_distributed_env():
+    """Optional SLURM/torchrun rendezvous parsing (the reference's
+    init_distributed_mode env handling, distributed.py:88-228)."""
+    from wmar_tpu.parallel.mesh import parse_distributed_env
+
+    assert parse_distributed_env({}) == {}
+    slurm = parse_distributed_env({
+        "SLURM_PROCID": "3", "SLURM_NTASKS": "16",
+        "MASTER_ADDR": "10.0.0.1", "MASTER_PORT": "29500",
+    })
+    assert slurm == {"process_id": 3, "num_processes": 16,
+                     "coordinator_address": "10.0.0.1:29500"}
+    # SLURM without MASTER_ADDR falls back to the launch node ip
+    slurm2 = parse_distributed_env({
+        "SLURM_PROCID": "0", "SLURM_NTASKS": "2",
+        "SLURM_LAUNCH_NODE_IPADDR": "10.0.0.9",
+    })
+    assert slurm2["coordinator_address"] == "10.0.0.9:12355"
+    torchrun = parse_distributed_env({
+        "RANK": "1", "WORLD_SIZE": "8", "MASTER_ADDR": "h0",
+    })
+    assert torchrun == {"process_id": 1, "num_processes": 8,
+                        "coordinator_address": "h0:12355"}

@@ -51,14 +51,43 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
 
 
+def parse_distributed_env(env=None) -> dict:
+    """Optional SLURM / torchrun-style rendezvous parsing, mirroring the
+    reference's ``init_distributed_mode`` env handling
+    (``wmar/utils/distributed.py:88-228``) for non-pod launchers.
+
+    Returns kwargs for ``jax.distributed.initialize``; empty when no
+    recognized launcher env is present (the TPU pod runtime self-discovers).
+    """
+    import os as _os
+
+    env = _os.environ if env is None else env
+    out: dict = {}
+    if "SLURM_PROCID" in env and "SLURM_NTASKS" in env:
+        out["process_id"] = int(env["SLURM_PROCID"])
+        out["num_processes"] = int(env["SLURM_NTASKS"])
+        addr = env.get("MASTER_ADDR") or env.get("SLURM_LAUNCH_NODE_IPADDR")
+        if addr:
+            out["coordinator_address"] = f"{addr}:{env.get('MASTER_PORT', '12355')}"
+    elif "RANK" in env and "WORLD_SIZE" in env:  # torchrun-style
+        out["process_id"] = int(env["RANK"])
+        out["num_processes"] = int(env["WORLD_SIZE"])
+        if env.get("MASTER_ADDR"):
+            out["coordinator_address"] = f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '12355')}"
+    return out
+
+
 def init_multihost(coordinator_address: Optional[str] = None):
     """Multi-host bring-up: `jax.distributed.initialize` discovers peers via
-    the TPU pod runtime (no SLURM hostname parsing / MASTER_ADDR needed —
-    the reference's ``init_distributed_mode`` equivalent)."""
+    the TPU pod runtime (the reference's ``init_distributed_mode``
+    equivalent); SLURM/torchrun rendezvous env is honored when present."""
     if jax.process_count() > 1:
         return  # already initialized
+    kwargs = parse_distributed_env()
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
     try:
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+        jax.distributed.initialize(**kwargs)
     except Exception:
         pass  # single-host
 
