@@ -130,11 +130,27 @@ def test_new_aug_families(rng):
     assert 0.4 < nz < 0.6  # ~half kept
 
 
-def test_mp3_slot_is_gated():
-    import pytest as _pytest
+def test_mp3_training_aug_straight_through():
+    """MP3 now rides the libmp3lame bridge; the train-time variant must be
+    jit-compatible with an identity (straight-through) gradient."""
+    if not A.mp3_available():
+        import pytest as _pytest
 
-    with _pytest.raises(RuntimeError, match="host encoder bridge"):
-        A.MP3Compression()
+        with _pytest.raises(RuntimeError, match="libmp3lame"):
+            A.MP3Compression()
+        return
+    x = jnp.asarray(
+        0.4 * np.sin(2 * np.pi * 440 * np.arange(24000) / 24000.0)
+    ).reshape(1, -1, 1).astype(jnp.float32)
+
+    fn = jax.jit(lambda a: A.mp3_compression_st(a, 64))
+    y = fn(x)
+    assert y.shape == x.shape
+    assert float(jnp.abs(y - x).max()) > 1e-4  # codec actually ran
+
+    g = jax.grad(lambda a: (A.mp3_compression_st(a, 64) ** 2).sum())(x)
+    # straight-through: d/dx sum(f(x)^2) == 2 f(x) under identity backward
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(y), atol=1e-5)
 
 
 def test_mimi_compression_attack(rng):

@@ -200,6 +200,44 @@ def mp3_available() -> bool:
     return _mp3.available()
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def mp3_compression_st(audio, bitrate_kbps: int, sample_rate: int = 24000):
+    """Jit-compatible MP3 round trip with a straight-through gradient — the
+    reference's train-time ``MP3Compression(passthrough=True)``
+    (``training/augmentations.py:486-494``): forward applies the host codec
+    via ``pure_callback``, backward is identity (custom_vjp; pure_callback
+    itself refuses JVP)."""
+    import numpy as np
+
+    def host_fn(x):
+        from wmar_tpu.native import mp3 as _mp3
+
+        chan = x.ndim == 3
+        wav = x[..., 0] if chan else x
+        out = _mp3.mp3_roundtrip(np.asarray(wav, np.float32), sample_rate,
+                                 int(bitrate_kbps))
+        return (out[..., None] if chan else out).astype(np.float32)
+
+    return jax.pure_callback(
+        host_fn, jax.ShapeDtypeStruct(audio.shape, jnp.float32),
+        audio.astype(jnp.float32),
+    )
+
+
+def _mp3_st_fwd(audio, bitrate_kbps, sample_rate):
+    return mp3_compression_st(audio, bitrate_kbps, sample_rate), None
+
+
+def _mp3_st_bwd(bitrate_kbps, sample_rate, _res, g):
+    return (g,)  # straight-through
+
+
+mp3_compression_st.defvjp(_mp3_st_fwd, _mp3_st_bwd)
+
+
 def get_validation_augs(sample_rate: int = 24000, frame_size: int = 1920,
                         mimi_codec=None, encodec=None, dac=None,
                         ) -> List[Tuple[str, object, List[float]]]:

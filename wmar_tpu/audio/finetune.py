@@ -65,6 +65,10 @@ TRAIN_AUGS = [
     ("echo", lambda x, r: A.echo(x, 0.05, 0.3)),
     ("amplitude", lambda x, r: A.amplitude_scale(x, 0.7)),
 ]
+if A.mp3_available():
+    # train-time MP3 with a straight-through gradient, like the reference's
+    # MP3Compression(passthrough=True) inside the Mimi finetune augmenter
+    TRAIN_AUGS.append(("mp3", lambda x, r: A.mp3_compression_st(x, 64)))
 
 
 @flax.struct.dataclass

@@ -210,10 +210,12 @@ def _temporal_step(params, cfg: MoshiConfig, x_emb, cache, pos):
 class MoshiGen:
     """Streaming generation with fused watermark (LMGen.step counterpart)."""
 
-    def __init__(self, params, cfg: MoshiConfig, wm_cfg: Optional[WMConfig] = None):
+    def __init__(self, params, cfg: MoshiConfig, wm_cfg: Optional[WMConfig] = None,
+                 cache_dtype=jnp.float32):
         self.params = params
         self.cfg = cfg
         self.wm = wm_cfg
+        self.cache_dtype = cache_dtype  # bf16/int8 for serving throughput
         self._jit_cache: dict = {}
 
     def _sample_stream(self, logits, stream_idx, ctx_tokens, rng):
@@ -328,7 +330,8 @@ class MoshiGen:
         card1 = cfg.audio_vocab + 1
 
         t_cache = KVCache.zeros(
-            tcfg.n_layers, batch, tcfg.n_heads, total_steps + 1, tcfg.head_dim
+            tcfg.n_layers, batch, tcfg.n_heads, total_steps + 1, tcfg.head_dim,
+            self.cache_dtype,
         )
         ring0 = jnp.zeros((batch, 1 + n_in, ct), jnp.int32)
         # _get_initial_token (lm.py:284-299): text_card for text, card for audio
