@@ -60,7 +60,7 @@ def main():
         vq_cfg = MaskGitVQConfig(resolution=8, hidden_channels=32, channel_mult=(1, 2),
                                  num_res_blocks=1, z_channels=16, n_embed=64, embed_dim=16)
     else:
-        rar_cfg = rar_config("rar_xl")
+        rar_cfg = rar_config(os.environ.get("BENCH_SIZE", "rar_xl"))
         vq_cfg = MASKGIT_IMAGENET_F16
 
     dtype = jnp.bfloat16
@@ -110,8 +110,9 @@ def main():
     dt = time.time() - t0
 
     imgs_per_sec = batch * iters / dt
+    size = os.environ.get("BENCH_SIZE", "rar_xl")
     result = {
-        "metric": "watermarked_rar_xl_256px_imgs_per_sec_per_chip" if not tiny
+        "metric": f"watermarked_{size}_256px_imgs_per_sec_per_chip" if not tiny
         else "watermarked_rar_tiny_imgs_per_sec (TINY MODE)",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/s",

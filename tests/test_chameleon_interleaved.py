@@ -257,3 +257,31 @@ def test_fused_matches_reprefill_greedy():
             saw_image = True
             break
     assert saw_image, "no greedy run emitted an image segment in 8 seeds"
+
+
+def test_fused_interleaved_int8_cache():
+    """The one-scan interleaved path runs on the int8 quantized KV cache
+    (serving config): valid segment structure end to end."""
+    from wmar_tpu.models.chameleon_interleaved import sample_interleaved_fused
+
+    params = init_llama_params(jax.random.PRNGKey(0), LCFG)
+    vq = TamingVQGAN(TINY_VQ)
+    vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+    w = ChameleonARMM(
+        params, LCFG, VOCAB, vq_params, TINY_VQ,
+        tokenizer=lambda s: [6 + (ord(c) % 20) for c in s[:4]],
+        image_seq_len=16, cache_dtype=jnp.int8,
+    )
+    segs = sample_interleaved_fused(
+        w, "a cat", GenParams(temperature=1.0, top_p=0.95),
+        text_opts=TextGenOptions(max_gen_len=8, temp=1.0, top_p=0.95),
+        max_images=1, rng=jax.random.PRNGKey(3),
+    )
+    text_tokens = set(VOCAB.text_tokens) | {VOCAB.eos_id, VOCAB.boi_id, VOCAB.eoi_id}
+    for k, toks in segs:
+        arr = np.asarray(toks).reshape(-1)
+        if k == "image_seg":
+            assert len(arr) == w.image_seq_len
+            assert all(int(t) in set(VOCAB.image_tokens) for t in arr)
+        else:
+            assert all(int(t) in text_tokens for t in arr)

@@ -410,3 +410,39 @@ def test_chameleon_llama_conversion_parity():
         params, cfg, jnp.asarray(tokens)[None], cache, 0, jnp.arange(4)[None]
     )
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_rcc_delta_conversion(torch_vqgan):
+    """Published RCC deltas (submodule-relative keys, utils.py:215-227)
+    convert via convert(base+delta) - convert(base) and apply back through
+    the generate.py --*_ft_ckpt path to exactly the finetuned weights."""
+    from wmar_tpu.utils.checkpoint import apply_delta
+    from wmar_tpu.utils.convert import convert_vqgan_delta
+
+    base_sd = {k: v.detach().numpy() for k, v in torch_vqgan.state_dict().items()}
+    rng = np.random.default_rng(0)
+    delta_sd = {
+        k[len("decoder."):]: rng.normal(0, 0.01, v.shape).astype(np.float32)
+        for k, v in base_sd.items() if k.startswith("decoder.")
+    }
+    fn = lambda s: convert.convert_taming_vqgan(s, CFG)  # noqa: E731
+    tree = convert_vqgan_delta(base_sd, delta_sd, "decoder", fn)
+
+    # applying the converted delta == converting the finetuned checkpoint
+    new_sd = dict(base_sd)
+    for k, v in delta_sd.items():
+        new_sd["decoder." + k] = base_sd["decoder." + k] + v
+    want = fn(new_sd)["params"]["decoder"]
+    got = apply_delta(fn(base_sd)["params"]["decoder"], tree)
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(got), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(want), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(pa))
+
+    # unknown keys fail fast
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        convert_vqgan_delta(base_sd, {"nope.weight": np.zeros(1, np.float32)},
+                            "decoder", fn)

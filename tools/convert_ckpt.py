@@ -25,8 +25,13 @@ def main(argv=None):
     p.add_argument("kind", choices=[
         "taming", "rar", "chameleon_vqgan", "maskgit_vqgan", "chameleon_llama",
         "wam", "syncseal", "moshi", "mimi", "adm", "compressai", "diffusers_vae",
-        "encodec", "dac",
+        "encodec", "dac", "taming_delta", "chameleon_delta", "maskgit_delta",
     ])
+    p.add_argument("--base", default=None,
+                   help="full tokenizer checkpoint the delta applies to "
+                        "(*_delta kinds; --ckpt is the delta .pth itself)")
+    p.add_argument("--part", default="encoder", choices=["encoder", "decoder"],
+                   help="which tokenizer submodule the delta patches")
     p.add_argument("--name", default=None,
                    help="codec name for compressai/diffusers_vae "
                         "(e.g. cheng2020-anchor-q=3, diffusers-sd-vae-ft-ema)")
@@ -76,6 +81,24 @@ def main(argv=None):
     elif args.kind == "maskgit_vqgan":
         vq = convert.convert_maskgit_vqgan(sd, MASKGIT_IMAGENET_F16)
         ckpt_io.save_pytree(os.path.join(args.outdir, "maskgit_vqgan.msgpack"), vq)
+    elif args.kind.endswith("_delta"):
+        # sd (--ckpt) is the published RCC delta with submodule-relative keys
+        assert args.base, "--base <full tokenizer checkpoint> required for *_delta"
+        base_sd = convert.load_torch_state_dict(args.base)
+        if args.kind == "maskgit_delta":
+            stage = ""
+            fn = lambda s: convert.convert_maskgit_vqgan(s, MASKGIT_IMAGENET_F16)  # noqa: E731
+        elif args.kind == "chameleon_delta":
+            stage = ""
+            fn = lambda s: convert.convert_taming_vqgan(s, CHAMELEON_F16)  # noqa: E731
+        else:
+            stage = "first_stage_model." if any(
+                k.startswith("first_stage_model.") for k in base_sd) else ""
+            fn = lambda s: convert.convert_taming_vqgan(  # noqa: E731
+                s, TAMING_IMAGENET_F16, prefix=stage)
+        tree = convert.convert_vqgan_delta(base_sd, sd, args.part, fn, stage_prefix=stage)
+        ckpt_io.save_pytree(
+            os.path.join(args.outdir, f"{args.part}_delta.msgpack"), tree)
     elif args.kind == "chameleon_vqgan":
         vq = convert.convert_taming_vqgan(sd, CHAMELEON_F16)
         ckpt_io.save_pytree(os.path.join(args.outdir, "vqgan.msgpack"), vq)

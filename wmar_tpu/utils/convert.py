@@ -516,3 +516,34 @@ def convert_moshi_lm(sd: StateDict, cfg) -> dict:
             [np.asarray(sd[f"linears.{k}.weight"]).T for k in range(dep_q)]
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# RCC delta conversion (the reference's published finetune artifacts)
+# ---------------------------------------------------------------------------
+
+
+def convert_vqgan_delta(base_sd: StateDict, delta_sd: StateDict, part: str,
+                        convert_fn, stage_prefix: str = "") -> dict:
+    """Reference RCC delta -> delta pytree for the converted params subtree.
+
+    The reference publishes finetunes as additive state-dict deltas with
+    encoder/decoder-relative keys (``wmar/utils/utils.py:215-227``), applied
+    via ``update_weights(model.encoder, path)`` (``generate.py:327-332``).
+    We compute ``convert(base + delta) - convert(base)``, which is exact for
+    any converter (transposes and fused mappings alike) and yields a pytree
+    consumable by ``checkpoint.load_and_apply_delta`` /
+    ``generate.py --{encoder,decoder}_ft_ckpt``.
+    """
+    import jax
+
+    module_prefix = f"{stage_prefix}{part}."
+    new_sd = dict(base_sd)
+    for k, v in delta_sd.items():
+        key = module_prefix + k
+        if key not in base_sd:
+            raise KeyError(f"delta key {k!r} has no base weight {key!r}")
+        new_sd[key] = np.asarray(base_sd[key]) + np.asarray(v)
+    base_tree = convert_fn(base_sd)["params"][part]
+    new_tree = convert_fn(new_sd)["params"][part]
+    return jax.tree.map(lambda a, b: np.asarray(b) - np.asarray(a), base_tree, new_tree)
