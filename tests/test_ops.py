@@ -52,3 +52,29 @@ def test_fused_bias_act():
     x = jnp.asarray([-1.0, 2.0])
     out = fused_bias_act(x, bias=jnp.asarray([0.5, 0.5]), act="lrelu", alpha=0.2, gain=1.0)
     np.testing.assert_allclose(np.asarray(out), [-0.1, 2.5], atol=1e-6)
+
+
+@pytest.mark.parametrize("start", [None, "ragged"])
+def test_flash_decode_q8_matches_xla(rng, start):
+    """int8-cache kernel (VMEM dequant) vs the XLA path over the dequantized
+    QuantKVCache — identical inputs, quantization included in both."""
+    from wmar_tpu.engine.kvcache import KVCache
+    from wmar_tpu.ops.flash_decode import flash_decode_attention_q8
+
+    b, h, t, d = 3, 2, 32, 128
+    cq = KVCache.zeros(1, b, h, t, d, dtype=jnp.int8)
+    for i in range(20):
+        cq = cq.write(0, i,
+                      jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32)),
+                      jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32)))
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32))
+    valid_len = jnp.int32(20)
+    starts = jnp.array([0, 3, 7], jnp.int32) if start else None
+    ref = decode_attention(q, *cq.layer(0), valid_len, start=starts)
+    out = flash_decode_attention_q8(
+        q, cq.k[0], cq.v[0], cq.k_scale[0], cq.v_scale[0], valid_len,
+        start=starts, interpret=True,
+    )
+    # bf16 dequant in the reference path dominates the tolerance
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)

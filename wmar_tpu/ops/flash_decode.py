@@ -92,3 +92,76 @@ def flash_decode_attention(
         interpret=interpret,
     )(lens, starts, q, k_cache, v_cache)
     return out
+
+
+def _decode_attn_kernel_q8(len_ref, start_ref, q_ref, k_ref, v_ref, ks_ref,
+                           vs_ref, o_ref):
+    """int8-cache variant: K/V arrive quantized (int8 payload + per-token
+    scales), dequantization happens in VMEM — HBM traffic for the cache is
+    one quarter of the f32 path. Same math as `_decode_attn_kernel`."""
+    b = pl.program_id(0)
+    q = q_ref[0, 0].astype(jnp.float32)  # [1, D]
+    ks = ks_ref[0, 0].astype(jnp.float32)  # [T, 1]
+    vs = vs_ref[0, 0].astype(jnp.float32)  # [T, 1]
+    k = k_ref[0, 0].astype(jnp.float32) * ks  # [T, D]
+    v = v_ref[0, 0].astype(jnp.float32) * vs
+    d = q.shape[-1]
+    scale = d**-0.5
+
+    s = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * scale  # [T, 1]
+    t = s.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    valid = (pos < len_ref[0]) & (pos >= start_ref[b])
+    s = jnp.where(valid, s, -1e30)
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=0, keepdims=True)
+    o = jnp.dot(p.T, v, preferred_element_type=jnp.float32) / denom
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def flash_decode_attention_q8(
+    q: jnp.ndarray,
+    k_int8: jnp.ndarray,
+    v_int8: jnp.ndarray,
+    k_scale: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    valid_len,
+    start=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused decode attention over a quantized cache.
+
+    ``q [B, H, 1, D]``; ``k_int8/v_int8 [B, H, T, D]`` int8;
+    ``k_scale/v_scale [B, H, T]`` per-token-head scales (QuantKVCache
+    layout). Returns ``[B, H, 1, D]``.
+    """
+    b, h, _, d = q.shape
+    t = k_int8.shape[2]
+    lens = jnp.full((1,), valid_len, jnp.int32)
+    starts = (
+        jnp.zeros((b,), jnp.int32) if start is None else jnp.asarray(start, jnp.int32)
+    )
+    # rank-4 scales: rank-1 blocks trip Mosaic (see _decode_attn_kernel note)
+    ks = k_scale[..., None]
+    vs = v_scale[..., None]
+
+    grid = (b, h)
+    out = pl.pallas_call(
+        _decode_attn_kernel_q8,
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, t, 1), lambda i, j, *_: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, t, 1), lambda i, j, *_: (i, j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
+        ),
+        interpret=interpret,
+    )(lens, starts, q, k_int8, v_int8, ks, vs)
+    return out
