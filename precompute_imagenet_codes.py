@@ -31,6 +31,10 @@ def get_parser():
                    help="directory of images (class subdirs optional)")
     p.add_argument("--outdir", type=str, required=True)
     p.add_argument("--per_class", type=int, default=50)
+    p.add_argument("--split_file", type=str, default=None,
+                   help="restrict to the filenames listed here, one per line "
+                        "(the reference's assets/imagenet_512_split_50k.txt "
+                        "custom split for 512px Chameleon)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--chunk_idx", type=int, default=0)
     p.add_argument("--total_chunks", type=int, default=1)
@@ -69,6 +73,12 @@ def main(argv=None):
         + glob.glob(os.path.join(args.datapath, "**", "*.jpg"), recursive=True)
         + glob.glob(os.path.join(args.datapath, "**", "*.png"), recursive=True)
     )
+    if args.split_file:
+        with open(args.split_file) as fh:
+            wanted = {line.strip() for line in fh if line.strip()}
+        files = [f for f in files
+                 if os.path.basename(f) in wanted
+                 or os.path.splitext(os.path.basename(f))[0] in wanted]
     # Group by class dir, cap per_class.
     by_class = {}
     for f in files:
