@@ -78,3 +78,32 @@ def test_flash_decode_q8_matches_xla(rng, start):
     # bf16 dequant in the reference path dominates the tolerance
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_flash_decode_key_mask(rng):
+    """Per-row key masks (the fused interleaved CFG rows) agree with the XLA
+    path in both kernels."""
+    from wmar_tpu.engine.kvcache import KVCache
+    from wmar_tpu.ops.flash_decode import flash_decode_attention_q8
+
+    b, h, t, d = 3, 2, 32, 128
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    valid_len = jnp.int32(24)
+    key_mask = jnp.asarray(rng.random((b, t)) > 0.4)
+    key_mask = key_mask.at[:, 0].set(True)  # keep every row non-empty
+    ref = decode_attention(q, k, v, valid_len, key_mask=key_mask)
+    out = flash_decode_attention(q, k, v, valid_len, key_mask=key_mask,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    cq = KVCache.zeros(1, b, h, t, d, dtype=jnp.int8)
+    cq = cq.write(0, 0, k, v)
+    ref_q = decode_attention(q, *cq.layer(0), valid_len, key_mask=key_mask)
+    out_q = flash_decode_attention_q8(
+        q, cq.k[0], cq.v[0], cq.k_scale[0], cq.v_scale[0], valid_len,
+        key_mask=key_mask, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_q, np.float32),
+                               np.asarray(ref_q, np.float32), atol=2e-2)

@@ -13,11 +13,14 @@ step the other backbones rely on.
 Sizes here are small (T <= ~4.2k, D 48-128), so blocks are whole rows; the
 kernel pads D to the 128-lane boundary via BlockSpec implicitly.
 
-Status: compiles on TPU and matches the XLA path to bf16 tolerance
-(max |err| 0.008 at RAR-XL decode shapes). At these shapes the XLA fusion is
-already bandwidth-bound on the KV read, so the kernel is kept as an opt-in
-(``decode_attention`` stays the default); it becomes the lever once caches
-grow (Chameleon 4k contexts) or when fusing the bias+sample stage in.
+Status: all four variants (bf16 / int8-cache, each with/without per-row key
+masks) compile on TPU and match the XLA path (max |err| <= 1e-3 at the
+Chameleon-4k shape, 0.008 at RAR-XL). Measured (PERFORMANCE.md): at RAR
+decode shapes XLA's fusion wins (grid overhead), so ``decode_attention``
+stays the engine default; at the Chameleon-4k shape the bf16 kernel is 17%
+faster than XLA — the long-context serving lever. Key masks use additive
+float bias inside the kernel: bf16 bool compares fail to lower on the
+remote Mosaic toolchain.
 """
 
 from __future__ import annotations
@@ -30,8 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = jnp.float32(-1e30)
 
 
-def _decode_attn_kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref):
-    """Grid: (B, H). Blocks: q [1,1,1,D], k/v [1,1,T,D], out [1,1,1,D].
+def _attn_body(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref, km_ref=None):
+    """Shared body. Grid: (B, H); blocks q [1,1,1,D], k/v [1,1,T,D],
+    optional key-mask [1,1,T,1], out [1,1,1,D].
 
     All intermediates stay rank-2 — rank-1 tensors hit Mosaic lowering bugs
     on some toolchains (empirically: 1-D reductions fail to compile).
@@ -48,11 +52,23 @@ def _decode_attn_kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref):
     pos = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)  # [T, 1]
     valid = (pos < len_ref[0]) & (pos >= start_ref[b])
     s = jnp.where(valid, s, -1e30)
+    if km_ref is not None:
+        # additive float mask (mask 1 -> +0, 0 -> -1e30): bf16 bool compares
+        # fail to lower on the remote Mosaic toolchain
+        s = s + (km_ref[0, 0].astype(jnp.float32) - 1.0) * jnp.float32(1e30)
     m = jnp.max(s, axis=0, keepdims=True)  # [1, 1]
     p = jnp.exp(s - m)  # [T, 1]
     denom = jnp.sum(p, axis=0, keepdims=True)  # [1, 1]
     o = jnp.dot(p.T, v, preferred_element_type=jnp.float32) / denom  # [1, D]
     o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _decode_attn_kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref):
+    _attn_body(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref)
+
+
+def _decode_attn_kernel_km(len_ref, start_ref, q_ref, k_ref, v_ref, km_ref, o_ref):
+    _attn_body(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref, km_ref)
 
 
 def flash_decode_attention(
@@ -61,12 +77,15 @@ def flash_decode_attention(
     v_cache: jnp.ndarray,
     valid_len,
     start=None,
+    key_mask=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused decode attention. ``q [B, H, 1, D]``, caches ``[B, H, T, D]``.
 
     ``valid_len``: scalar count of valid cache slots; ``start``: optional
-    per-row first valid index (left padding). Returns ``[B, H, 1, D]``.
+    per-row first valid index (left padding); ``key_mask``: optional
+    per-row per-slot validity ``[B, T]`` (the fused-interleaved CFG rows).
+    Returns ``[B, H, 1, D]``.
     """
     b, h, _, d = q.shape
     t = k_cache.shape[2]
@@ -74,31 +93,42 @@ def flash_decode_attention(
     starts = (
         jnp.zeros((b,), jnp.int32) if start is None else jnp.asarray(start, jnp.int32)
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
+    ]
+    args = [lens, starts, q, k_cache, v_cache]
+    kernel = _decode_attn_kernel
+    if key_mask is not None:
+        # same block layout as the proven q8 scale inputs: [B, H, T, 1],
+        # indexed (i, j) — size-1 middle dims trip the remote Mosaic build
+        km = jnp.broadcast_to(
+            jnp.asarray(key_mask, jnp.bfloat16)[:, None, :, None], (b, h, t, 1))
+        in_specs.append(pl.BlockSpec((1, 1, t, 1), lambda i, j, *_: (i, j, 0, 0)))
+        args.append(km)
+        kernel = _decode_attn_kernel_km
 
     grid = (b, h)
     out = pl.pallas_call(
-        _decode_attn_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # lens, starts
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
         ),
         interpret=interpret,
-    )(lens, starts, q, k_cache, v_cache)
+    )(*args)
     return out
 
 
-def _decode_attn_kernel_q8(len_ref, start_ref, q_ref, k_ref, v_ref, ks_ref,
-                           vs_ref, o_ref):
+def _attn_body_q8(len_ref, start_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                  o_ref, km_ref=None):
     """int8-cache variant: K/V arrive quantized (int8 payload + per-token
     scales), dequantization happens in VMEM — HBM traffic for the cache is
-    one quarter of the f32 path. Same math as `_decode_attn_kernel`."""
+    one quarter of the f32 path. Same math as `_attn_body`."""
     b = pl.program_id(0)
     q = q_ref[0, 0].astype(jnp.float32)  # [1, D]
     ks = ks_ref[0, 0].astype(jnp.float32)  # [T, 1]
@@ -113,11 +143,24 @@ def _decode_attn_kernel_q8(len_ref, start_ref, q_ref, k_ref, v_ref, ks_ref,
     pos = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
     valid = (pos < len_ref[0]) & (pos >= start_ref[b])
     s = jnp.where(valid, s, -1e30)
+    if km_ref is not None:
+        s = s + (km_ref[0, 0].astype(jnp.float32) - 1.0) * jnp.float32(1e30)
     m = jnp.max(s, axis=0, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=0, keepdims=True)
     o = jnp.dot(p.T, v, preferred_element_type=jnp.float32) / denom
     o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _decode_attn_kernel_q8(len_ref, start_ref, q_ref, k_ref, v_ref, ks_ref,
+                           vs_ref, o_ref):
+    _attn_body_q8(len_ref, start_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref)
+
+
+def _decode_attn_kernel_q8_km(len_ref, start_ref, q_ref, k_ref, v_ref, ks_ref,
+                              vs_ref, km_ref, o_ref):
+    _attn_body_q8(len_ref, start_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                  o_ref, km_ref)
 
 
 def flash_decode_attention_q8(
@@ -128,13 +171,14 @@ def flash_decode_attention_q8(
     v_scale: jnp.ndarray,
     valid_len,
     start=None,
+    key_mask=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused decode attention over a quantized cache.
 
     ``q [B, H, 1, D]``; ``k_int8/v_int8 [B, H, T, D]`` int8;
     ``k_scale/v_scale [B, H, T]`` per-token-head scales (QuantKVCache
-    layout). Returns ``[B, H, 1, D]``.
+    layout); ``key_mask`` optional ``[B, T]``. Returns ``[B, H, 1, D]``.
     """
     b, h, _, d = q.shape
     t = k_int8.shape[2]
@@ -142,26 +186,35 @@ def flash_decode_attention_q8(
     starts = (
         jnp.zeros((b,), jnp.int32) if start is None else jnp.asarray(start, jnp.int32)
     )
-    # rank-4 scales: rank-1 blocks trip Mosaic (see _decode_attn_kernel note)
+    # rank-4 scales: rank-1 blocks trip Mosaic (see _attn_body note)
     ks = k_scale[..., None]
     vs = v_scale[..., None]
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, t, 1), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, t, 1), lambda i, j, *_: (i, j, 0, 0)),
+    ]
+    args = [lens, starts, q, k_int8, v_int8, ks, vs]
+    kernel = _decode_attn_kernel_q8
+    if key_mask is not None:
+        km = jnp.broadcast_to(
+            jnp.asarray(key_mask, jnp.bfloat16)[:, None, :, None], (b, h, t, 1))
+        in_specs.append(pl.BlockSpec((1, 1, t, 1), lambda i, j, *_: (i, j, 0, 0)))
+        args.append(km)
+        kernel = _decode_attn_kernel_q8_km
 
     grid = (b, h)
     out = pl.pallas_call(
-        _decode_attn_kernel_q8,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, t, 1), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, t, 1), lambda i, j, *_: (i, j, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, 1, d), lambda i, j, *_: (i, j, 0, 0)),
         ),
         interpret=interpret,
-    )(lens, starts, q, k_int8, v_int8, ks, vs)
+    )(*args)
     return out
