@@ -144,3 +144,21 @@ def test_llama_tp_forward_matches_replicated():
         f = jax.jit(lambda p, t: llama_forward(p, LCFG, t, cache, 0, pos)[0])
         tp_logits = f(sharded, tokens)
     np.testing.assert_allclose(np.asarray(ref_logits), np.asarray(tp_logits), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_decode_path_matches_xla(monkeypatch):
+    """WMAR_FLASH_DECODE=1 routes single-token llama decode through the
+    Pallas kernel (interpret mode off-TPU) with identical logits."""
+    from wmar_tpu.models import llama as L
+
+    params = init_llama_params(jax.random.PRNGKey(0), LCFG)
+    tokens = jnp.array([[VOCAB.bos_id, 7, 8]], dtype=jnp.int32)
+    cache = KVCache.zeros(LCFG.n_layers, 1, LCFG.n_heads, 8, LCFG.head_dim)
+    pos = jnp.arange(3)[None, :]
+    logits, cache = llama_forward(params, LCFG, tokens, cache, 0, pos)
+    step_tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    ref, _ = llama_forward(params, LCFG, step_tok, cache, 3, jnp.full((1, 1), 3))
+
+    monkeypatch.setattr(L, "USE_FLASH_DECODE", True)
+    got, _ = llama_forward(params, LCFG, step_tok, cache, 3, jnp.full((1, 1), 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)

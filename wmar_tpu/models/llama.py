@@ -19,6 +19,7 @@ vocab 65536 (``models/7b/params.json``).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -130,6 +131,35 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndar
     return out.reshape(b, t, h, d).astype(x.dtype)
 
 
+# Opt-in Pallas flash-decode for single-token steps: measured 17% faster
+# than the XLA path at the Chameleon-4k decode shape (PERFORMANCE.md), a
+# wash-to-loss at short caches — hence env-gated, default XLA.
+USE_FLASH_DECODE = os.environ.get("WMAR_FLASH_DECODE", "0") == "1"
+
+
+def _cache_attention(q, cache, li, valid_len, start, key_mask):
+    if USE_FLASH_DECODE and q.shape[2] == 1:
+        from wmar_tpu.engine.kvcache import QuantKVCache
+        from wmar_tpu.ops.flash_decode import (
+            flash_decode_attention,
+            flash_decode_attention_q8,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        if isinstance(cache, QuantKVCache):
+            return flash_decode_attention_q8(
+                q, cache.k[li], cache.v[li], cache.k_scale[li],
+                cache.v_scale[li], valid_len, start=start, key_mask=key_mask,
+                interpret=interpret,
+            )
+        k_all, v_all = cache.layer(li)
+        return flash_decode_attention(q, k_all, v_all, valid_len, start=start,
+                                      key_mask=key_mask, interpret=interpret)
+    k_all, v_all = cache.layer(li)
+    return decode_attention(q, k_all, v_all, valid_len, start=start,
+                            key_mask=key_mask)
+
+
 def llama_forward(
     params,
     cfg: LlamaConfig,
@@ -166,9 +196,8 @@ def llama_forward(
             v = jnp.repeat(v, n_rep, axis=2)
         q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
         cache = cache.write(li, write_pos, k, v)
-        k_all, v_all = cache.layer(li)
-        attn = decode_attention(q, k_all, v_all, jnp.asarray(write_pos) + t, start=start,
-                                key_mask=key_mask)
+        attn = _cache_attention(q, cache, li, jnp.asarray(write_pos) + t,
+                                start, key_mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
         attn_out = attn @ blk["wo"]
         x = x + (blk["ls1"] * attn_out if cfg.layer_scale else attn_out)
