@@ -61,3 +61,27 @@ def test_parse_distributed_env():
     })
     assert torchrun == {"process_id": 1, "num_processes": 8,
                         "coordinator_address": "h0:12355"}
+
+
+def test_quant_kvcache_tp_sharding():
+    """The int8 cache (payload + per-token scales) shards over heads on the
+    tp axis and decode-attends correctly through the mesh."""
+    import jax.numpy as jnp
+
+    from wmar_tpu.engine.attention import decode_attention
+    from wmar_tpu.engine.kvcache import KVCache
+    from wmar_tpu.parallel import apply_specs, kvcache_tp_specs, make_mesh
+
+    mesh = make_mesh(dp=4, tp=2)
+    rng = np.random.default_rng(0)
+    cq = KVCache.zeros(1, 2, 4, 8, 16, dtype=jnp.int8)
+    cq = cq.write(0, 0, jnp.asarray(rng.standard_normal((2, 4, 3, 16)), jnp.float32),
+                  jnp.asarray(rng.standard_normal((2, 4, 3, 16)), jnp.float32))
+    q = jnp.asarray(rng.standard_normal((2, 4, 1, 16)), jnp.float32)
+    ref = decode_attention(q, *cq.layer(0), jnp.int32(3))
+    with jax.set_mesh(mesh):
+        sharded = apply_specs(mesh, cq, kvcache_tp_specs(cq))
+        out = jax.jit(lambda c, qq: decode_attention(qq, *c.layer(0), jnp.int32(3)))(sharded, q)
+    # bf16 dequant: sharded/replicated reduction orders differ slightly
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)

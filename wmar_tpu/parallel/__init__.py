@@ -7,6 +7,7 @@ from wmar_tpu.parallel.mesh import (
     gpt_tp_specs,
     init_multihost,
     kvcache_tp_spec,
+    kvcache_tp_specs,
     make_mesh,
     replicate,
     replicated,
@@ -19,6 +20,7 @@ __all__ = [
     "gpt_tp_specs",
     "init_multihost",
     "kvcache_tp_spec",
+    "kvcache_tp_specs",
     "make_mesh",
     "replicate",
     "replicated",

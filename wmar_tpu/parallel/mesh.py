@@ -132,6 +132,20 @@ def kvcache_tp_spec() -> P:
     return P(None, None, "tp", None, None)
 
 
+def kvcache_tp_specs(cache):
+    """Head-sharded PartitionSpec pytree matching ``cache`` — works for both
+    the float :class:`~wmar_tpu.engine.kvcache.KVCache` and the int8
+    :class:`~wmar_tpu.engine.kvcache.QuantKVCache` (whose per-token scales
+    are [L, B, H, T] and shard over the same head axis)."""
+    from wmar_tpu.engine.kvcache import KVCache, QuantKVCache
+
+    p5 = P(None, None, "tp", None, None)
+    if isinstance(cache, QuantKVCache):
+        p4 = P(None, None, "tp", None)
+        return QuantKVCache(k=p5, v=p5, k_scale=p4, v_scale=p4)
+    return KVCache(k=p5, v=p5)
+
+
 def apply_specs(mesh: Mesh, tree, specs):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
