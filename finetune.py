@@ -40,7 +40,14 @@ def get_parser():
     p.add_argument("--optimizer", type=str, default="adam")
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--batch_size_per_device", type=int, default=4)
+    p.add_argument("--dataset", type=str, default="codes-imagenet",
+                   help="dataset kind; only codes-imagenet exists, like the "
+                        "reference (finetune.py:198-203)")
     p.add_argument("--idempotence_loss_weight", type=float, default=2.0)
+    p.add_argument("--idempotence_loss_weight_factor", type=float, default=1.0,
+                   help="geometric per-epoch schedule: idem weight is "
+                        "multiplied by this after every epoch (reference "
+                        "finetune.py:502-506)")
     p.add_argument("--loss", type=str, default="hard-to-soft-with-ae")
     p.add_argument("--outdir", type=str, required=True)
     p.add_argument("--seed", type=int, default=42)
@@ -115,6 +122,8 @@ def build_adapter(args):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    if args.dataset != "codes-imagenet":
+        raise ValueError(f"Dataset {args.dataset} not supported")
     from wmar_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
@@ -177,11 +186,19 @@ def main(argv=None):
         for epoch, level in enumerate(levels):
             if epoch < start_epoch:
                 continue
-            if level not in steps:
-                steps[level] = jax.jit(
-                    make_train_step(adapter, cfg, level, optimizer, perceptual)
+            # per-epoch idem weight (geometric schedule; baked into the
+            # traced program, so the jit cache keys on it)
+            idem_w = args.idempotence_loss_weight * (
+                args.idempotence_loss_weight_factor ** epoch)
+            skey = (level, idem_w)
+            if skey not in steps:
+                import dataclasses as _dc
+
+                cfg_e = _dc.replace(cfg, idem_weight=idem_w)
+                steps[skey] = jax.jit(
+                    make_train_step(adapter, cfg_e, level, optimizer, perceptual)
                 )
-            step_fn = steps[level]
+            step_fn = steps[skey]
             perm = rng.permutation(codes.shape[0])
             epoch_metrics = []
             for bi in range(steps_per_epoch):
