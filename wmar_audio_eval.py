@@ -44,7 +44,67 @@ def get_parser():
                    help="DAC 24k checkpoint for the codec-compression attack")
     p.add_argument("--mimi_compression", action="store_true",
                    help="add a Mimi round-trip codec attack (uses the loaded Mimi)")
+    # reference main_wm.py surface: audio prompts, artifact dumps, filters
+    p.add_argument("--use_prompts", action="store_true",
+                   help="teacher-force generation with Mimi-encoded audio prompts")
+    p.add_argument("--audio_dir", type=str, default=None,
+                   help="directory of .wav prompt files (with --use_prompts)")
+    p.add_argument("--nsamples", type=int, default=0,
+                   help="cap the number of prompt files (0 = batch_size)")
+    p.add_argument("--duration_sec", type=float, default=5.0,
+                   help="crop/pad prompts to this length")
+    p.add_argument("--eval_aug", type=str, default=None,
+                   help="restrict the sweep to one augmentation family")
+    p.add_argument("--save_audio", action="store_true",
+                   help="write generated waveforms as .wav into output_dir")
+    p.add_argument("--save_tokens", action="store_true",
+                   help="write generated token streams as .npy into output_dir")
+    p.add_argument("--mimi_weight_ori", type=str, default=None,
+                   help="ORIGINAL (non-finetuned) Mimi for re-encode/detection "
+                        "(main_wm.py:107: generation may use finetuned weights)")
     return p
+
+
+def _load_prompt_codes(args, mimi, mimi_params, moshi_cfg):
+    """Encode .wav prompts through Mimi into teacher-forcing codes
+    (main_wm.py:136-151). Returns [B, K, T'] or None."""
+    import glob as _glob
+
+    import jax.numpy as jnp
+    from scipy.io import wavfile
+
+    files = sorted(_glob.glob(os.path.join(args.audio_dir, "*.wav")))
+    if not files:
+        print(f"No audio files found in {args.audio_dir}. Proceeding without prompts.")
+        return None
+    n = args.nsamples if args.nsamples > 0 else args.batch_size
+    files = files[: min(n, args.batch_size)]
+    target = int(args.duration_sec * 24000)
+    wavs = []
+    for f in files:
+        sr, data = wavfile.read(f)
+        data = np.asarray(data, np.float32)
+        if data.dtype.kind != "f":
+            data = data / 32768.0
+        elif np.abs(data).max() > 1.5:
+            data = data / 32768.0
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        if sr != 24000:  # linear resample to the Mimi rate
+            idx = np.linspace(0, len(data) - 1, int(len(data) * 24000 / sr))
+            data = np.interp(idx, np.arange(len(data)), data).astype(np.float32)
+        data = data[:target]
+        if len(data) < target:
+            data = np.pad(data, (0, target - len(data)))
+        wavs.append(data)
+    while len(wavs) < args.batch_size:  # pad the batch with silence
+        wavs.append(np.zeros(target, np.float32))
+    from wmar_tpu.audio import Mimi
+
+    batch = jnp.asarray(np.stack(wavs))[:, :, None]
+    codes = np.asarray(mimi.apply(mimi_params, batch, method=Mimi.encode))
+    print(f"Using {len(files)} audio files as prompts ({codes.shape[2]} frames)")
+    return jnp.asarray(codes)
 
 
 def main(argv=None):
@@ -122,10 +182,44 @@ def main(argv=None):
             temp=args.temperature, top_k=args.top_k,
         )
     gen = MoshiGen(moshi_params, moshi_cfg, wm)
-    text, audio_codes = gen.generate(args.steps, jax.random.PRNGKey(args.seed), batch=args.batch_size)
+    prompt_codes = None
+    if args.use_prompts and args.audio_dir:
+        prompt_codes = _load_prompt_codes(args, mimi, mimi_params, moshi_cfg)
+        if prompt_codes is not None:
+            prompt_codes = prompt_codes[:, : moshi_cfg.n_audio_streams]
+    text, audio_codes = gen.generate(
+        args.steps, jax.random.PRNGKey(args.seed), batch=args.batch_size,
+        prompt_codes=prompt_codes,
+    )
 
-    # Decode to waveform, attack, re-encode, score.
+    # Decode to waveform, attack, re-encode, score. Detection may use the
+    # ORIGINAL Mimi while generation used finetuned weights (main_wm.py:107).
     pcm = mimi.apply(mimi_params, audio_codes, method=Mimi.decode)
+    det_params = mimi_params
+    if args.mimi_weight_ori:
+        from wmar_tpu.utils import checkpoint as _ckpt2
+
+        if args.mimi_weight_ori.endswith(".msgpack"):
+            like = mimi.init(jax.random.PRNGKey(0), jnp.zeros((1, mimi_cfg.hop_length * 2, 1)))
+            det_params = _ckpt2.load_pytree(args.mimi_weight_ori, like)
+        else:
+            from wmar_tpu.audio.mimi import convert_mimi as _cm
+            from wmar_tpu.utils.convert import load_torch_state_dict as _ltsd
+
+            det_params = jax.tree.map(jnp.asarray, _cm(_ltsd(args.mimi_weight_ori), mimi_cfg))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.save_audio:
+        from scipy.io import wavfile as _wavfile
+
+        for b in range(args.batch_size):
+            _wavfile.write(
+                os.path.join(args.output_dir, f"gen_{b:03d}.wav"), 24000,
+                np.clip(np.asarray(pcm[b, :, 0]), -1, 1),
+            )
+    if args.save_tokens:
+        np.save(os.path.join(args.output_dir, "text_tokens.npy"), np.asarray(text))
+        np.save(os.path.join(args.output_dir, "audio_tokens.npy"), np.asarray(audio_codes))
     if args.no_augs:
         augs = [("identity", lambda x, p, r: x, [0])]
     else:
@@ -145,6 +239,10 @@ def main(argv=None):
 
             codec_kw["dac"] = CodecCompression.from_checkpoint("dac", args.dac_weight)
         augs = get_validation_augs(**codec_kw)
+        if args.eval_aug:
+            augs = [(n, f, ps) for n, f, ps in augs if n == args.eval_aug or n == "identity"]
+            if len(augs) <= 1:
+                raise SystemExit(f"--eval_aug {args.eval_aug!r} not in the grid")
 
     fixed_hashes = window_hash(jnp.zeros((args.steps, 0), jnp.int32), args.wm_seed)
     records = []
@@ -153,7 +251,7 @@ def main(argv=None):
     for name, fn, params in augs:
         for param in params:
             attacked = fn(pcm, param, jax.random.fold_in(jax.random.PRNGKey(args.seed), hash(name) % 2**31))
-            re_codes = mimi.apply(mimi_params, attacked, method=Mimi.encode)
+            re_codes = mimi.apply(det_params, attacked, method=Mimi.encode)
             quality = [
                 {
                     "sisnr": sisnr(attacked[b, : pcm.shape[1]], pcm[b]),
