@@ -216,6 +216,11 @@ def _load_alive_ids(path):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    # Sweep configs pass the literal string "none" for absent checkpoints
+    # (reference generate.py:327-330 treats it as unset); mirror that.
+    for attr in ("encoder_ft_ckpt", "decoder_ft_ckpt", "syncpath", "modelpath"):
+        if getattr(args, attr, None) == "none":
+            setattr(args, attr, None)
     from wmar_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
