@@ -136,3 +136,32 @@ def test_write_report_end_to_end(tmp_path):
     rd = _os.path.dirname(path)
     for fig in ["roc.png", "token_match_hist.png", "robustness.png", "tpr_vs_bpp.png"]:
         assert _os.path.exists(_os.path.join(rd, fig)), fig
+
+
+def test_rescore_matches_stored_pvalues(tmp_path, rng):
+    """analyzer.rescore: saved .npy codes -> pvalues through the native
+    scorer must reproduce the generation-time records (VERDICT r2 #6)."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from wmar_tpu.core import HashGreenlist, WatermarkSpec
+    from wmar_tpu.core.detect import detect
+    from wmar_tpu.eval.analyzer import rescore
+
+    method = "linear-stratifiedrand-h=1-d=2.0-g=0.25"
+    spec = WatermarkSpec.from_string(method, vocab_size=64)
+    gl = HashGreenlist(spec)
+    d = tmp_path / "c=0,idx=1"
+    d.mkdir()
+    codes = rng.integers(0, 64, size=(3, 64)).astype(np.int32)
+    pv = np.asarray(detect(spec, gl, jnp.asarray(codes)))
+    for i in range(3):
+        stem = f"{1:04}_{method}_jpeg_{50 + i}"
+        np.save(d / f"{stem}.npy", codes[i])
+        with open(d / f"{stem}.json", "w") as f:
+            _json.dump({"pvalue": float(pv[i]), "l0": 0.1}, f)
+    out = rescore(str(tmp_path), vocab_size=64)
+    assert len(out) == 3
+    got = np.array([out[f"c=0,idx=1/{1:04}_{method}_jpeg_{50 + i}.npy"] for i in range(3)])
+    np.testing.assert_allclose(got, pv, atol=1e-4)

@@ -390,6 +390,78 @@ def write_report(outdir: str, report_dir: str = None, alpha: float = 0.01) -> st
     return path
 
 
+_FNAME_NPY = re.compile(r"^(\d+)_(.+?)_([^_]+)_([^_]+)\.npy$")
+
+
+def rescore(
+    outdir: str,
+    vocab_size: int,
+    torch_compat: bool = False,
+    update: bool = False,
+) -> dict:
+    """Bulk re-score every saved ``.npy`` code file in a result tree.
+
+    The detection counterpart of the reference's analyzer re-walk
+    (``wmar/utils/analyzer.py`` recomputes stats from the saved tree): parse
+    the watermark spec out of each filename's method string, score the codes
+    through the C++ ngram scorer when available (device detect otherwise),
+    and return ``{relpath: pvalue}``. With ``update=True`` the sidecar
+    ``.json`` records are rewritten in place. Prints the max deviation vs
+    stored p-values so drift between generation-time and re-scored detection
+    is visible.
+    """
+    import glob as _glob
+
+    from wmar_tpu import native
+    from wmar_tpu.core import WatermarkSpec
+    from wmar_tpu.core.greenlist import HashGreenlist, LazyTorchCompatGreenlist
+
+    groups: Dict[tuple, list] = defaultdict(list)
+    for path in sorted(_glob.glob(os.path.join(outdir, "c=*", "*.npy"))):
+        m = _FNAME_NPY.match(os.path.basename(path))
+        if not m:
+            continue
+        codes = np.load(path).ravel()
+        groups[(m.group(2), codes.shape[0])].append((path, codes))
+
+    out, max_dev, n_dev = {}, 0.0, 0
+    for (method, t), items in groups.items():
+        side = int(round(t ** 0.5))
+        spatial_dim = side if side * side == t else 16
+        spec = WatermarkSpec.from_string(method, vocab_size, spatial_dim=spatial_dim)
+        codes = np.stack([c for _, c in items]).astype(np.int32)
+        gl = (LazyTorchCompatGreenlist(spec) if torch_compat
+              else HashGreenlist(spec))
+        if torch_compat:
+            pvals = gl.detect_host(codes)  # native-backed when available
+        elif native.available():
+            pvals = native.detect_native(spec, gl, codes)
+        else:
+            import jax.numpy as jnp
+
+            from wmar_tpu.core.detect import detect
+
+            pvals = np.asarray(detect(spec, gl, jnp.asarray(codes)))
+        for (path, _), p in zip(items, pvals):
+            rel = os.path.relpath(path, outdir)
+            out[rel] = float(p)
+            side_json = path[:-4] + ".json"
+            if os.path.exists(side_json):
+                with open(side_json) as f:
+                    rec = json.load(f)
+                if rec.get("pvalue") is not None:
+                    max_dev = max(max_dev, abs(rec["pvalue"] - float(p)))
+                    n_dev += 1
+                if update:
+                    rec["pvalue"] = float(p)
+                    with open(side_json, "w") as f:
+                        json.dump(rec, f)
+    print(f"rescored {len(out)} code files "
+          f"(native={native.available()}, torch_compat={torch_compat}); "
+          f"max |dp| vs {n_dev} stored records = {max_dev:.3e}")
+    return out
+
+
 def _main():
     import argparse
 
@@ -397,7 +469,18 @@ def _main():
     p.add_argument("outdir")
     p.add_argument("--alpha", type=float, default=0.01)
     p.add_argument("--report_dir", default=None)
+    p.add_argument("--rescore", action="store_true",
+                   help="re-score saved .npy codes through the native scorer")
+    p.add_argument("--vocab_size", type=int, default=1024,
+                   help="vocab for --rescore (taming 1024/16384, rar 1024, chameleon 65536)")
+    p.add_argument("--torch_compat", action="store_true",
+                   help="--rescore with torch-compat greenlists")
+    p.add_argument("--update", action="store_true",
+                   help="--rescore rewrites pvalues into the .json records")
     args = p.parse_args()
+    if args.rescore:
+        rescore(args.outdir, args.vocab_size, args.torch_compat, args.update)
+        return
     path = write_report(args.outdir, args.report_dir, args.alpha)
     print(f"report written to {path}")
 

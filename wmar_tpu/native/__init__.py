@@ -57,11 +57,47 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _lib.score_codes_hash.argtypes = [
                 p_i32, i64, i64, i32, i32, i32, p_u32, u32, i32, p_i64,
             ]
+            _lib.score_codes_keymap.argtypes = [
+                p_i32, i64, i64, i32, i32, i32, p_i64, i64, p_u32, i64, p_i64,
+            ]
     return _lib
 
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def context_keys_np(spec, codes: np.ndarray) -> np.ndarray:
+    """All greenlist context keys appearing in ``codes [B, T]`` — pure numpy
+    mirror of :mod:`wmar_tpu.core.ngrams` key rules (sums of context
+    windows), used to pre-build lazy greenlist rows for the native scorer."""
+    from wmar_tpu.core.spec import SeedStrategy
+
+    codes = np.asarray(codes, dtype=np.int64)
+    if codes.ndim == 1:
+        codes = codes[None]
+    h = spec.context_size
+    if spec.seed_strategy == SeedStrategy.FIXED:
+        return np.zeros((1,), np.int64)
+    if spec.seed_strategy == SeedStrategy.SPATIAL:
+        d = spec.spatial_dim
+        grid = codes.reshape(codes.shape[0], d, d)
+        if h == 1:
+            above = np.roll(grid, 1, axis=1)
+            left = np.roll(grid, 1, axis=2)
+            ctx = np.where((np.arange(d) == 0)[None, None, :], above, left)
+            return ctx.reshape(codes.shape[0], -1)[:, 1:].reshape(-1)
+        if h == 3:
+            tl = grid[:, :-1, :-1]
+            tr = grid[:, :-1, 1:]
+            bl = grid[:, 1:, :-1]
+            return (tl + tr + bl).reshape(-1)
+        raise ValueError("spatial keys support h in {1, 3}")
+    # LINEAR: sliding h-window sums.
+    t = codes.shape[1]
+    csum = np.concatenate([np.zeros((codes.shape[0], 1), np.int64),
+                           np.cumsum(codes, axis=1)], axis=1)
+    return (csum[:, h:t] - csum[:, 0:t - h]).reshape(-1)
 
 
 def score_codes_native(spec, greenlist, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -70,7 +106,12 @@ def score_codes_native(spec, greenlist, codes: np.ndarray) -> Tuple[np.ndarray, 
     Matches :func:`wmar_tpu.core.detect.score_codes` exactly for both
     greenlist sources; raises ``RuntimeError`` if no compiler is available.
     """
-    from wmar_tpu.core.greenlist import HashGreenlist, TableGreenlist, pack_bool_rows
+    from wmar_tpu.core.greenlist import (
+        HashGreenlist,
+        LazyTorchCompatGreenlist,
+        TableGreenlist,
+        pack_bool_rows,
+    )
     from wmar_tpu.core.spec import SeedStrategy
 
     lib = get_lib()
@@ -83,7 +124,27 @@ def score_codes_native(spec, greenlist, codes: np.ndarray) -> Tuple[np.ndarray, 
     h = spec.context_size
     out = np.zeros((batch, 2), dtype=np.int64)
 
-    if isinstance(greenlist, TableGreenlist):
+    if isinstance(greenlist, LazyTorchCompatGreenlist):
+        # Build packed rows for exactly the context keys present in this
+        # batch (row construction = the torch-compat randperm, cached in the
+        # greenlist's LRU); the C++ kernel binary-searches the key map.
+        # FIXED seeding has one row for every key — use the table kernel
+        # with fixed_key so arbitrary context sums map to it.
+        uniq = np.unique(context_keys_np(spec, codes))
+        rows = np.stack([greenlist._row(int(k)) for k in uniq])
+        table = np.ascontiguousarray(pack_bool_rows(rows), dtype=np.uint32)
+        if fixed:
+            lib.score_codes_table(
+                codes, batch, t, h, spatial, spec.spatial_dim,
+                table, 1, table.shape[1], 1, out,
+            )
+        else:
+            lib.score_codes_keymap(
+                codes, batch, t, h, spatial, spec.spatial_dim,
+                np.ascontiguousarray(uniq, dtype=np.int64), len(uniq),
+                table, table.shape[1], out,
+            )
+    elif isinstance(greenlist, TableGreenlist):
         table = np.ascontiguousarray(np.asarray(greenlist._table), dtype=np.uint32)
         lib.score_codes_table(
             codes, batch, t, h, spatial, spec.spatial_dim,

@@ -48,7 +48,10 @@ inline uint32_t hash_key_token(uint32_t key, uint32_t token, uint32_t salt) {
 }
 
 struct Green {
-  // mode 0: packed table [n_keys x words]; mode 1: hash thresholds [vocab].
+  // mode 0: packed table [n_keys x words]; mode 1: hash thresholds [vocab];
+  // mode 2: key-mapped packed table — row r covers context key key_ids[r]
+  // (sorted ascending). Mode 2 serves lazily-built greenlists (torch-compat
+  // at 65k vocab) where only the keys present in the batch have rows.
   int mode;
   const uint32_t* table;
   int64_t n_keys;
@@ -56,6 +59,7 @@ struct Green {
   const uint32_t* thresholds;
   uint32_t salt;
   int fixed_key;
+  const int64_t* key_ids;
 
   bool is_green(int64_t key, int32_t token) const {
     if (fixed_key) key = 0;
@@ -63,6 +67,16 @@ struct Green {
       if (key < 0) key = 0;
       if (key >= n_keys) key = n_keys - 1;
       uint32_t word = table[key * words + token / 32];
+      return (word >> (token % 32)) & 1u;
+    }
+    if (mode == 2) {
+      int64_t lo = 0, hi = n_keys;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (key_ids[mid] < key) lo = mid + 1; else hi = mid;
+      }
+      if (lo >= n_keys || key_ids[lo] != key) return false;
+      uint32_t word = table[lo * words + token / 32];
       return (word >> (token % 32)) & 1u;
     }
     return hash_key_token((uint32_t)key, (uint32_t)token, salt) < thresholds[token];
@@ -116,7 +130,7 @@ void score_codes_table(const int32_t* codes, int64_t batch, int64_t t, int h,
                        int spatial, int dim, const uint32_t* table,
                        int64_t n_keys, int64_t words, int fixed_key,
                        int64_t* out) {
-  Green g{0, table, n_keys, words, nullptr, 0, fixed_key};
+  Green g{0, table, n_keys, words, nullptr, 0, fixed_key, nullptr};
   for (int64_t b = 0; b < batch; ++b)
     score_one(codes + b * t, t, h, spatial, dim, g, &out[b * 2], &out[b * 2 + 1]);
 }
@@ -125,7 +139,19 @@ void score_codes_table(const int32_t* codes, int64_t batch, int64_t t, int h,
 void score_codes_hash(const int32_t* codes, int64_t batch, int64_t t, int h,
                       int spatial, int dim, const uint32_t* thresholds,
                       uint32_t salt, int fixed_key, int64_t* out) {
-  Green g{1, nullptr, 0, 0, thresholds, salt, fixed_key};
+  Green g{1, nullptr, 0, 0, thresholds, salt, fixed_key, nullptr};
+  for (int64_t b = 0; b < batch; ++b)
+    score_one(codes + b * t, t, h, spatial, dim, g, &out[b * 2], &out[b * 2 + 1]);
+}
+
+// Batched scoring with a key-mapped packed table: key_ids [n_keys] sorted
+// ascending, table [n_keys x words]. Context keys absent from key_ids score
+// as not-green (callers pass every key present in the batch).
+void score_codes_keymap(const int32_t* codes, int64_t batch, int64_t t, int h,
+                        int spatial, int dim, const int64_t* key_ids,
+                        int64_t n_keys, const uint32_t* table, int64_t words,
+                        int64_t* out) {
+  Green g{2, table, n_keys, words, nullptr, 0, 0, key_ids};
   for (int64_t b = 0; b < batch; ++b)
     score_one(codes + b * t, t, h, spatial, dim, g, &out[b * 2], &out[b * 2 + 1]);
 }
