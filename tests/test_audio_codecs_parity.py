@@ -41,8 +41,15 @@ class SConv1d(nn.Module):
         self.k, self.stride, self.dilation = k, stride, dilation
 
     def forward(self, x):
-        pad = (self.k - 1) * self.dilation - (self.stride - 1)
-        x = nn.functional.pad(x, (max(pad, 0), 0))
+        # encodec package SConv1d: causal reflect left pad + extra right pad
+        # to complete the last frame (conv.py pad1d / get_extra_padding).
+        keff = (self.k - 1) * self.dilation + 1
+        pad = keff - self.stride
+        import math as _math
+
+        n_frames = _math.ceil((x.shape[-1] - keff + pad) / self.stride)
+        extra = n_frames * self.stride + keff - pad - x.shape[-1]
+        x = nn.functional.pad(x, (max(pad, 0), max(extra, 0)), mode="reflect")
         return self.conv.conv(x)
 
 
@@ -67,7 +74,7 @@ class SLSTM(nn.Module):
 
     def forward(self, x):  # [B, C, T]
         y = x.permute(2, 0, 1)
-        y, _ = self.lstm(y)
+        y = self.lstm(y)[0] + y  # skip=True, as in encodec SLSTM / HF EncodecLSTM
         return y.permute(1, 2, 0)
 
 
@@ -152,6 +159,46 @@ def test_encodec_parity():
     out = C.encodec_roundtrip(params, TINY_ENC, jnp.asarray(x.numpy().transpose(0, 2, 1)))
     np.testing.assert_allclose(
         np.transpose(out, (0, 2, 1)), ref.numpy(), atol=3e-4
+    )
+
+
+def _hf_encodec_parity(hf_cfg_kw, our_cfg, t, atol):
+    """Round-trip parity vs the REAL HF EncodecModel (the implementation the
+    reference's EncodecCompression loads, transformers modeling_encodec.py)
+    with random weights."""
+    transformers = pytest.importorskip("transformers")
+    torch.manual_seed(0)
+    hf_cfg = transformers.EncodecConfig(**hf_cfg_kw)
+    model = transformers.EncodecModel(hf_cfg).eval()
+    x = torch.rand(2, 1, t) * 2 - 1
+    with torch.no_grad():
+        ref = model(x).audio_values
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, C.convert_encodec(sd, our_cfg))
+    out = C.encodec_roundtrip(params, our_cfg, jnp.asarray(x.numpy().transpose(0, 2, 1)))
+    out = np.transpose(out, (0, 2, 1))[..., : ref.shape[-1]]
+    np.testing.assert_allclose(out, ref.numpy()[..., : out.shape[-1]], atol=atol)
+
+
+def test_encodec_parity_hf_reduced():
+    # bandwidth 4.0 kbps at frame_rate 200 & 10-bit codebooks -> n_q = 2,
+    # matching TINY-style geometry.
+    _hf_encodec_parity(
+        dict(num_filters=4, hidden_size=8, codebook_dim=8, codebook_size=1024,
+             upsampling_ratios=[4, 2], sampling_rate=1600,
+             target_bandwidths=[4.0], normalize=False),
+        C.EncodecConfig(dimension=8, n_filters=4, ratios=(4, 2), n_q=2, bins=1024),
+        t=64, atol=3e-4,
+    )
+
+
+def test_encodec_parity_hf_full_geometry():
+    """The published facebook/encodec_24khz geometry end-to-end (random
+    weights): validates the converter at the real shapes (VERDICT r2 #2)."""
+    _hf_encodec_parity(
+        {},  # HF defaults == encodec_24khz geometry
+        C.ENCODEC_24K,
+        t=1600, atol=1e-3,
     )
 
 

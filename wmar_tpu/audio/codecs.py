@@ -49,8 +49,13 @@ def _convtr1d(p, x, stride):
     return y + p["bias"] if "bias" in p else y
 
 
-def _lstm(p: List[dict], x):
-    """Multi-layer LSTM (torch gate order i,f,g,o) over [B, T, C]."""
+def _lstm(p: List[dict], x, skip: bool = False):
+    """Multi-layer LSTM (torch gate order i,f,g,o) over [B, T, C].
+
+    ``skip=True`` adds the module input to the output — the EnCodec /
+    audiocraft ``SLSTM``/``StreamableLSTM`` residual (HF
+    ``EncodecLSTM.forward`` ends with ``+ hidden_states``)."""
+    x_in = x
     for layer in p:
         w_ih, w_hh = layer["w_ih"], layer["w_hh"]  # [in,4H], [H,4H]
         b = layer["b"]  # [4H]
@@ -68,7 +73,7 @@ def _lstm(p: List[dict], x):
         init = (jnp.zeros((b0, hdim), x.dtype), jnp.zeros((b0, hdim), x.dtype))
         _, ys = jax.lax.scan(step, init, x.transpose(1, 0, 2))
         x = ys.transpose(1, 0, 2)
-    return x
+    return x + x_in if skip else x
 
 
 # ---------------------------------------------------------------------------
@@ -88,8 +93,13 @@ class EncodecConfig:
     residual_kernel_size: int = 3
     dilation_base: int = 2
     lstm_layers: int = 2
-    n_q: int = 8  # 6 kbps at 24 kHz
+    # The reference attack runs ``EncodecModel(tensor)`` at the default
+    # bandwidth = target_bandwidths[0] = 1.5 kbps -> 2 quantizers
+    # (reference wmar_audio/training/augmentations.py:599-624 + HF
+    # modeling_encodec _encode_frame).
+    n_q: int = 2
     bins: int = 1024
+    pad_mode: str = "reflect"  # HF EncodecConfig.pad_mode for encodec_24khz
 
     @property
     def hop_length(self) -> int:
@@ -102,9 +112,30 @@ class EncodecConfig:
 ENCODEC_24K = EncodecConfig()
 
 
-def _causal_conv(p, x, kernel, stride=1, dilation=1):
-    pad = (kernel - 1) * dilation - (stride - 1)
-    return _conv1d(p, x, stride=stride, dilation=dilation, pad=(max(pad, 0), 0))
+def _pad1d(x, left: int, right: int, mode: str = "zero"):
+    """HF ``EncodecConv1d._pad1d``: reflect padding with the small-input
+    guard (zero-extend right before reflecting when T <= max pad)."""
+    if mode != "reflect":
+        return jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+    t = x.shape[1]
+    extra = max(left, right) - t + 1 if t <= max(left, right) else 0
+    if extra > 0:
+        x = jnp.pad(x, ((0, 0), (0, extra), (0, 0)))
+    y = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+    return y[:, : y.shape[1] - extra] if extra > 0 else y
+
+
+def _causal_conv(p, x, kernel, stride=1, dilation=1, pad_mode="reflect"):
+    """Causal conv with the HF/encodec padding: full left pad (pad_mode,
+    reflect for the published models) + right extra padding to complete the
+    last frame (HF EncodecConv1d.forward)."""
+    keff = (kernel - 1) * dilation + 1
+    pad_total = keff - stride
+    t = x.shape[1]
+    n_frames = -(-(t - keff + pad_total) // stride)  # ceil((..)/s + 1) - 1
+    extra = n_frames * stride + keff - pad_total - t
+    x = _pad1d(x, max(pad_total, 0), max(extra, 0), mode=pad_mode)
+    return _conv1d(p, x, stride=stride, dilation=dilation)
 
 
 def _causal_convtr(p, x, stride):
@@ -114,31 +145,32 @@ def _causal_convtr(p, x, stride):
 
 def _enc_resblock(p, x, cfg: EncodecConfig, dilation):
     h = jax.nn.elu(x)
-    h = _causal_conv(p["conv1"], h, cfg.residual_kernel_size, dilation=dilation)
+    h = _causal_conv(p["conv1"], h, cfg.residual_kernel_size, dilation=dilation,
+                     pad_mode=cfg.pad_mode)
     h = jax.nn.elu(h)
-    h = _causal_conv(p["conv2"], h, 1)
+    h = _causal_conv(p["conv2"], h, 1, pad_mode=cfg.pad_mode)
     # EnCodec uses true_skip=False: 1x1 shortcut conv (seanet.py:60-73)
-    return _causal_conv(p["shortcut"], x, 1) + h
+    return _causal_conv(p["shortcut"], x, 1, pad_mode=cfg.pad_mode) + h
 
 
 def encodec_encode_latent(params, cfg: EncodecConfig, x):
     """x [B, T, 1] -> latents [B, frames, dimension]."""
-    h = _causal_conv(params["conv_in"], x, cfg.kernel_size)
+    h = _causal_conv(params["conv_in"], x, cfg.kernel_size, pad_mode=cfg.pad_mode)
     for bi in range(len(cfg.ratios)):
         blk = params["down"][bi]
         for ri in range(cfg.n_residual_layers):
             h = _enc_resblock(blk["res"][ri], h, cfg, cfg.dilation_base**ri)
         h = jax.nn.elu(h)
         ratio = tuple(reversed(cfg.ratios))[bi]
-        h = _causal_conv(blk["down"], h, 2 * ratio, stride=ratio)
-    h = _lstm(params["lstm"], h)
+        h = _causal_conv(blk["down"], h, 2 * ratio, stride=ratio, pad_mode=cfg.pad_mode)
+    h = _lstm(params["lstm"], h, skip=True)
     h = jax.nn.elu(h)
-    return _causal_conv(params["conv_out"], h, cfg.last_kernel_size)
+    return _causal_conv(params["conv_out"], h, cfg.last_kernel_size, pad_mode=cfg.pad_mode)
 
 
 def encodec_decode_latent(params, cfg: EncodecConfig, z):
-    h = _causal_conv(params["conv_in"], z, cfg.kernel_size)
-    h = _lstm(params["lstm"], h)
+    h = _causal_conv(params["conv_in"], z, cfg.kernel_size, pad_mode=cfg.pad_mode)
+    h = _lstm(params["lstm"], h, skip=True)
     for bi, ratio in enumerate(cfg.ratios):
         blk = params["up"][bi]
         h = jax.nn.elu(h)
@@ -146,7 +178,7 @@ def encodec_decode_latent(params, cfg: EncodecConfig, z):
         for ri in range(cfg.n_residual_layers):
             h = _enc_resblock(blk["res"][ri], h, cfg, cfg.dilation_base**ri)
     h = jax.nn.elu(h)
-    return _causal_conv(params["conv_out"], h, cfg.last_kernel_size)
+    return _causal_conv(params["conv_out"], h, cfg.last_kernel_size, pad_mode=cfg.pad_mode)
 
 
 def rvq_encode(codebooks: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
@@ -337,58 +369,69 @@ def _lstm_params(sd, prefix, layers):
 
 
 def convert_encodec(sd, cfg: EncodecConfig = ENCODEC_24K) -> dict:
-    """encodec package state dict -> roundtrip params.
+    """EnCodec state dict -> roundtrip params; accepts BOTH published
+    layouts, auto-detected:
 
-    Sequential indexing (encodec/modules/seanet.py): encoder.model.0 conv_in,
-    then per stage [resblock, ELU, down-conv], then LSTM, ELU, conv_out;
-    decoder mirrors with [ELU, up-convtr, resblock] stages. ELUs consume
-    sequential slots but hold no params. Resblock convs live at
-    ``block.{1,3}``; shortcut at ``shortcut``. Codebooks at
-    ``quantizer.vq.layers.{q}._codebook.embed``.
+    * HF transformers (``facebook/encodec_24khz`` — what the reference's
+      EncodecCompression actually loads): ``encoder.layers.{i}.conv`` /
+      resblock ``block.{1,3}.conv`` / ``quantizer.layers.{q}.codebook.embed``
+      (modeling_encodec.py EncodecEncoder/Decoder ModuleLists).
+    * encodec package / audiocraft: ``encoder.model.{i}.conv.conv`` /
+      ``convtr.convtr`` / ``quantizer.vq.layers.{q}._codebook.embed``.
+
+    Sequential indexing (identical in both): encoder 0 = conv_in, per stage
+    [resblocks, ELU, down-conv], then LSTM, ELU, conv_out; decoder mirrors
+    with [ELU, up-convtr, resblocks] stages. ELUs consume index slots but
+    hold no params. ``n_q`` selects the first codebooks (bandwidth tier).
     """
+    hf = any(k.startswith(("encoder.layers.", "decoder.layers.")) for k in sd)
+    seq = "layers" if hf else "model"
+    conv_sfx = ".conv" if hf else ".conv.conv"
+    convtr_sfx = ".conv" if hf else ".convtr.convtr"
     nlev = len(cfg.ratios)
 
     def res(prefix):
         return {
-            "conv1": _wn_conv(sd, prefix + ".block.1.conv.conv"),
-            "conv2": _wn_conv(sd, prefix + ".block.3.conv.conv"),
-            "shortcut": _wn_conv(sd, prefix + ".shortcut.conv.conv"),
+            "conv1": _wn_conv(sd, f"{prefix}.block.1{conv_sfx}"),
+            "conv2": _wn_conv(sd, f"{prefix}.block.3{conv_sfx}"),
+            "shortcut": _wn_conv(sd, f"{prefix}.shortcut{conv_sfx}"),
         }
 
-    enc = {"conv_in": _wn_conv(sd, "encoder.model.0.conv.conv"), "down": []}
+    enc = {"conv_in": _wn_conv(sd, f"encoder.{seq}.0{conv_sfx}"), "down": []}
     idx = 1
     for _ in range(nlev):
         stage = {"res": []}
         for _ in range(cfg.n_residual_layers):
-            stage["res"].append(res(f"encoder.model.{idx}"))
+            stage["res"].append(res(f"encoder.{seq}.{idx}"))
             idx += 1
         idx += 1  # ELU
-        stage["down"] = _wn_conv(sd, f"encoder.model.{idx}.conv.conv")
+        stage["down"] = _wn_conv(sd, f"encoder.{seq}.{idx}{conv_sfx}")
         idx += 1
         enc["down"].append(stage)
-    enc["lstm"] = _lstm_params(sd, f"encoder.model.{idx}.lstm", cfg.lstm_layers)
+    enc["lstm"] = _lstm_params(sd, f"encoder.{seq}.{idx}.lstm", cfg.lstm_layers)
     idx += 2  # LSTM + ELU
-    enc["conv_out"] = _wn_conv(sd, f"encoder.model.{idx}.conv.conv")
+    enc["conv_out"] = _wn_conv(sd, f"encoder.{seq}.{idx}{conv_sfx}")
 
-    dec = {"conv_in": _wn_conv(sd, "decoder.model.0.conv.conv")}
-    dec["lstm"] = _lstm_params(sd, "decoder.model.1.lstm", cfg.lstm_layers)
+    dec = {"conv_in": _wn_conv(sd, f"decoder.{seq}.0{conv_sfx}")}
+    dec["lstm"] = _lstm_params(sd, f"decoder.{seq}.1.lstm", cfg.lstm_layers)
     idx = 2
     dec["up"] = []
     for _ in range(nlev):
         idx += 1  # ELU
-        stage = {"up": _wn_convtr(sd, f"decoder.model.{idx}.convtr.convtr")}
+        stage = {"up": _wn_convtr(sd, f"decoder.{seq}.{idx}{convtr_sfx}")}
         idx += 1
         stage["res"] = []
         for _ in range(cfg.n_residual_layers):
-            stage["res"].append(res(f"decoder.model.{idx}"))
+            stage["res"].append(res(f"decoder.{seq}.{idx}"))
             idx += 1
         dec["up"].append(stage)
     idx += 1  # ELU
-    dec["conv_out"] = _wn_conv(sd, f"decoder.model.{idx}.conv.conv")
+    dec["conv_out"] = _wn_conv(sd, f"decoder.{seq}.{idx}{conv_sfx}")
 
+    cb_key = ("quantizer.layers.{q}.codebook.embed" if hf
+              else "quantizer.vq.layers.{q}._codebook.embed")
     codebooks = np.stack([
-        np.asarray(sd[f"quantizer.vq.layers.{q}._codebook.embed"])
-        for q in range(cfg.n_q)
+        np.asarray(sd[cb_key.format(q=q)]) for q in range(cfg.n_q)
     ])
     return {"encoder": enc, "decoder": dec, "codebooks": codebooks}
 
