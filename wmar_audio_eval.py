@@ -62,7 +62,39 @@ def get_parser():
     p.add_argument("--mimi_weight_ori", type=str, default=None,
                    help="ORIGINAL (non-finetuned) Mimi for re-encode/detection "
                         "(main_wm.py:107: generation may use finetuned weights)")
+    # synchronization watermark (main_wm.py:127-130,243-270)
+    p.add_argument("--wm_sync", action="store_true",
+                   help="gate an AudioSeal watermark with the square-wave "
+                        "sync pattern and invert speed/shift before re-encode")
+    p.add_argument("--sync_generator_ckpt", type=str, default=None,
+                   help="audioseal_wm_16bits checkpoint (random tiny with --tiny)")
+    p.add_argument("--sync_detector_ckpt", type=str, default=None,
+                   help="audioseal_detector_16bits checkpoint")
+    p.add_argument("--sync_alpha", type=float, default=0.5,
+                   help="sync watermark strength (main_wm.py:245)")
     return p
+
+
+def _build_sync_pattern(args, mimi_cfg):
+    """AudioSeal-backed SyncPattern (reference watermark/sync.py:16-31)."""
+    from wmar_tpu.audio import audioseal as aseal
+    from wmar_tpu.audio.sync import SyncPattern
+
+    if args.sync_generator_ckpt and args.sync_detector_ckpt:
+        model = aseal.AudioSealModel.from_checkpoints(
+            args.sync_generator_ckpt, args.sync_detector_ckpt)
+        return SyncPattern(model)
+    if not args.tiny:
+        raise SystemExit("--wm_sync needs --sync_generator_ckpt + "
+                         "--sync_detector_ckpt (or --tiny)")
+    cfg = aseal.AudioSealConfig(
+        dimension=16, n_filters=4, ratios=(4, 2), nbits=4,
+        detector_output_dim=8, sample_rate=24000)
+    gp, gcfg = aseal.convert_audioseal_generator(aseal.synthetic_generator_sd(cfg))
+    dp, _ = aseal.convert_audioseal_detector(aseal.synthetic_detector_sd(cfg))
+    model = aseal.AudioSealModel(gp, dp, gcfg)
+    # tiny clips: shrink the sync period so several cycles fit
+    return SyncPattern(model, frames_per_period=2, frame_size=mimi_cfg.hop_length)
 
 
 def _load_prompt_codes(args, mimi, mimi_params, moshi_cfg):
@@ -195,6 +227,10 @@ def main(argv=None):
     # Decode to waveform, attack, re-encode, score. Detection may use the
     # ORIGINAL Mimi while generation used finetuned weights (main_wm.py:107).
     pcm = mimi.apply(mimi_params, audio_codes, method=Mimi.decode)
+    sync_pattern = None
+    if args.wm_sync:
+        sync_pattern = _build_sync_pattern(args, mimi_cfg)
+        pcm = sync_pattern.get_sync_wm(pcm, alpha=args.sync_alpha)  # main_wm.py:245
     det_params = mimi_params
     if args.mimi_weight_ori:
         from wmar_tpu.utils import checkpoint as _ckpt2
@@ -244,14 +280,33 @@ def main(argv=None):
             if len(augs) <= 1:
                 raise SystemExit(f"--eval_aug {args.eval_aug!r} not in the grid")
 
-    fixed_hashes = window_hash(jnp.zeros((args.steps, 0), jnp.int32), args.wm_seed)
     records = []
     from wmar_tpu.utils.metrics import pesq_metric, sisnr, stoi
 
     for name, fn, params in augs:
         for param in params:
             attacked = fn(pcm, param, jax.random.fold_in(jax.random.PRNGKey(args.seed), hash(name) % 2**31))
-            re_codes = mimi.apply(det_params, attacked, method=Mimi.encode)
+            sync_scores = [None] * args.batch_size
+            if sync_pattern is not None:
+                # Detect the sync signal, and when it is ambiguous
+                # (|mean - 0.5| < 0.25) estimate speed/shift and invert
+                # before re-encoding (main_wm.py:258-270).
+                det_sig = sync_pattern.detect_signal(attacked)
+                rows = []
+                for b in range(args.batch_size):
+                    row = attacked[b:b + 1]
+                    score = float(det_sig[b].mean())
+                    sync_scores[b] = score
+                    if abs(score - 0.5) < 0.25:
+                        speedup, shift = sync_pattern.get_speedup_and_shift(det_sig[b])
+                        row = sync_pattern.invert(row, speedup, shift)
+                        print(f"sync: {name}/{param} b={b} score={score:.3f} "
+                              f"speedup={speedup:.3f} shift={shift}")
+                    rows.append(np.asarray(mimi.apply(det_params, row, method=Mimi.encode)))
+                tmin = min(r.shape[2] for r in rows)
+                re_codes = jnp.asarray(np.concatenate([r[:, :, :tmin] for r in rows], axis=0))
+            else:
+                re_codes = mimi.apply(det_params, attacked, method=Mimi.encode)
             quality = [
                 {
                     "sisnr": sisnr(attacked[b, : pcm.shape[1]], pcm[b]),
@@ -260,6 +315,11 @@ def main(argv=None):
                 }
                 for b in range(args.batch_size)
             ]
+            # ngram=0 hashes depend only on position count; attacks that
+            # change duration (speed, crop, sync-invert) change the
+            # re-encoded frame count, so build them per re-encode length.
+            fixed_hashes = window_hash(
+                jnp.zeros((re_codes.shape[2], 0), jnp.int32), args.wm_seed)
             for b in range(args.batch_size):
                 for s in range(min(moshi_cfg.n_audio_streams, re_codes.shape[1])):
                     hashes_s = fixed_hashes[: re_codes.shape[2]]
@@ -274,11 +334,15 @@ def main(argv=None):
                         pval = float(pvalue_gumbel(scores.sum(), jnp.int32(n)))
                     else:
                         pval = None
-                    tm = float((re_codes[b, s] == audio_codes[b, s][: re_codes.shape[2]]).mean())
-                    records.append({
+                    tl = min(re_codes.shape[2], audio_codes.shape[2])
+                    tm = float((re_codes[b, s][:tl] == audio_codes[b, s][:tl]).mean())
+                    rec = {
                         "aug": name, "param": param, "batch": b, "stream": s,
                         "pvalue": pval, "token_match": tm, **quality[b],
-                    })
+                    }
+                    if sync_scores[b] is not None:
+                        rec["sync_score"] = sync_scores[b]
+                    records.append(rec)
         print(f"aug {name} done")
 
     os.makedirs(args.output_dir, exist_ok=True)
