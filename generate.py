@@ -48,9 +48,10 @@ def get_parser():
     p.add_argument("--decoder_ft_ckpt", type=str, default=None, help="RCC decoder delta (msgpack)")
     p.add_argument("--tiny", action="store_true", help="random tiny model (smoke test)")
     p.add_argument("--cache_dtype", type=str, default=None,
-                   choices=["bf16", "f32", "int8"],
+                   choices=["bf16", "f32", "int8", "int4"],
                    help="KV-cache dtype override; int8 halves decode-attention "
-                        "HBM reads (~0.4%% quantization noise, not token-exact)")
+                        "HBM reads (~0.4%% quantization noise, not token-exact); "
+                        "int4 (nibble-packed) halves them again at ~7%% noise")
 
     p.add_argument("--num_samples_per_conditioning", type=int, default=1)
     p.add_argument("--conditioning", type=str, default="0",
@@ -232,7 +233,7 @@ def main(argv=None):
     wrapper = load_wrapper(args)
     if args.cache_dtype:
         wrapper.cache_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-                               "int8": jnp.int8}[args.cache_dtype]
+                               "int8": jnp.int8, "int4": "int4"}[args.cache_dtype]
 
     if args.wm_method == "gentime":
         method = (
