@@ -50,15 +50,27 @@ def main(argv=None):
 
         vgg_sd = load_torch_state_dict(args.vgg_ckpt)
         lins = None
+        if args.lpips_ckpt:
+            # lpips package lin checkpoint: lin{i}.model.1.weight [1, C, 1, 1]
+            lin_sd = load_torch_state_dict(args.lpips_ckpt)
+            lins = [np.asarray(lin_sd[f"lin{i}.model.1.weight"]) for i in range(5)]
 
-    # Map sequential conv weights onto the flax LPIPS module names.
+    # Map sequential conv weights onto the flax LPIPS module names. Sort by
+    # the NUMERIC Sequential index — alphabetical ordering scrambles blocks
+    # at the real geometry ("features.10" < "features.2").
+    import re as _re
+
+    def _seq_idx(key):
+        return int(_re.search(r"(\d+)", key).group(1))
+
     params = {"vgg": {}}
     flat = sorted(
         ((k, v) for k, v in vgg_sd.items() if k.endswith("weight") and v.ndim == 4),
-        key=lambda kv: kv[0],
+        key=lambda kv: _seq_idx(kv[0]),
     )
     biases = sorted(
-        ((k, v) for k, v in vgg_sd.items() if k.endswith("bias")), key=lambda kv: kv[0]
+        ((k, v) for k, v in vgg_sd.items() if k.endswith("bias")),
+        key=lambda kv: _seq_idx(kv[0]),
     )
     ci = 0
     for bi, idxs in enumerate(_VGG_TORCH_IDX):

@@ -1,0 +1,906 @@
+#!/usr/bin/env python
+"""Full-geometry converter validation — every weight converter fed the
+PUBLISHED shapes (VERDICT r2 #2).
+
+Reduced-width parity tests prove the conversion *math*; this tool proves
+the *geometry handling*: for each converter, synthesize a state dict at the
+published checkpoint shapes (by instantiating the reference's own torch
+modules, the oracle modules from the parity tests, or in-repo synthetic
+builders), run the converter, run one small forward, and assert output
+shapes and finiteness. Spatial/temporal extents are kept small — weight
+geometry, not input size, is what the converters must survive.
+
+  python tools/validate_converters.py                # fast set (~all)
+  python tools/validate_converters.py --only rar     # subset by regex
+  python tools/validate_converters.py --slow         # include 7B targets
+  python tools/validate_converters.py --list
+
+Zero-egress stand-in for running the published artifacts themselves
+(docs/REPRODUCE.md); shapes cited from the reference: RAR sizes
+``wmar/models/rar_wrapper.py:43-51``, WAM ``deps/watermark_anything/utils/
+inference_utils.py:37-70``, taming cin ``generate.py`` model table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+import traceback
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+for p in (REPO, os.path.join(REPO, "tests"), REF):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+os.environ.setdefault("WMAR_NO_JAX_CACHE", "1")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # host-side validation
+import jax.numpy as jnp  # noqa: E402
+
+# Importing the oracle test module installs the timm/sentencepiece/
+# torchvision stub modules the reference packages expect, and the
+# reference sys.path entries — exactly the environment the parity tests
+# already run the reference classes in.
+import test_reference_module_oracle as _tro  # noqa: E402,F401
+
+TARGETS = {}
+
+
+def target(name, slow=False):
+    def deco(fn):
+        TARGETS[name] = (fn, slow)
+        return fn
+    return deco
+
+
+def _np_sd(model):
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+def _finite(x, what=""):
+    arr = np.asarray(x)
+    assert np.isfinite(arr).all(), f"non-finite output {what}"
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# RAR generators (published sizes, reference class as layout source)
+# ---------------------------------------------------------------------------
+
+
+def _rar_at(size):
+    import torch
+
+    from deps.rar.modeling.rar import RAR as RefRAR
+
+    from wmar_tpu.models.rar import RARSampler, rar_config
+    from wmar_tpu.utils.convert import convert_rar
+
+    dims = {"rar_b": (768, 24, 3072), "rar_l": (1024, 24, 4096),
+            "rar_xl": (1280, 32, 5120), "rar_xxl": (1408, 40, 6144)}[size]
+
+    class NS(dict):
+        __getattr__ = dict.__getitem__
+
+    conf = NS(model=NS(
+        vq_model=NS(codebook_size=1024),
+        generator=NS(hidden_size=dims[0], num_hidden_layers=dims[1],
+                     num_attention_heads=16, intermediate_size=dims[2],
+                     image_seq_len=256, condition_num_classes=1000,
+                     dropout=0.0, attn_drop=0.0),
+    ))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = RefRAR(conf).eval()
+    sd = _np_sd(ref)
+    del ref
+    cfg = rar_config(size)
+    params = jax.tree.map(jnp.asarray, convert_rar(sd, cfg))
+    del sd
+    sampler = RARSampler(params, cfg, jnp.asarray([7], jnp.int32),
+                         guidance_scale=4.0, cache_dtype=jnp.bfloat16)
+    logits, cache = sampler.prefill()
+    logits2, _ = sampler.step_fn(cache, jnp.zeros((1,), jnp.int32), jnp.int32(1))
+    assert logits2.shape == (1, cfg.codebook_size)
+    _finite(logits2, size)
+    return f"{dims[0]}d x {dims[1]}L, prefill + 1 decode step"
+
+
+for _size in ("rar_b", "rar_l", "rar_xl", "rar_xxl"):
+    target(_size)(lambda s=_size: _rar_at(s))
+
+
+# ---------------------------------------------------------------------------
+# Taming: ImageNet f16 VQGAN 16384x256 and the 1.4B cin transformer
+# ---------------------------------------------------------------------------
+
+
+@target("taming_vqgan_f16_16384")
+def _taming_vqgan():
+    import torch
+
+    from deps.taming.modules.diffusionmodules.model import Decoder as RefDecoder
+    from deps.taming.modules.diffusionmodules.model import Encoder as RefEncoder
+
+    from wmar_tpu.models.vqgan import TamingVQGAN, VQGANConfig
+    from wmar_tpu.utils.convert import convert_taming_vqgan
+
+    # Published channel geometry; resolution scaled 256->64 with the attn
+    # stage held fixed (attn at curr_res 16 after 4 downs == attn at 4 when
+    # starting from 64) so the probe forward is cheap while every weight
+    # tensor has the published shape.
+    kw = dict(ch=128, out_ch=3, ch_mult=(1, 1, 2, 2, 4), num_res_blocks=2,
+              attn_resolutions=[4], in_channels=3, resolution=64,
+              z_channels=256, dropout=0.0)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        renc = RefEncoder(double_z=False, **kw).eval()
+        rdec = RefDecoder(**kw).eval()
+    sd = {f"encoder.{k}": v for k, v in _np_sd(renc).items()}
+    sd.update({f"decoder.{k}": v for k, v in _np_sd(rdec).items()})
+    sd["quantize.embedding.weight"] = np.random.default_rng(0).normal(
+        0, 0.02, (16384, 256)).astype(np.float32)
+    sd["quant_conv.weight"] = np.eye(256, dtype=np.float32)[:, :, None, None]
+    sd["quant_conv.bias"] = np.zeros(256, np.float32)
+    sd["post_quant_conv.weight"] = np.eye(256, dtype=np.float32)[:, :, None, None]
+    sd["post_quant_conv.bias"] = np.zeros(256, np.float32)
+    del renc, rdec
+    cfg = VQGANConfig(resolution=64, ch=128, ch_mult=(1, 1, 2, 2, 4),
+                      num_res_blocks=2, attn_resolutions=(4,), z_channels=256,
+                      n_embed=16384, embed_dim=256)
+    variables = jax.tree.map(jnp.asarray, convert_taming_vqgan(sd, cfg))
+    del sd
+    model = TamingVQGAN(cfg)
+    x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    codes = model.apply(variables, x, method=TamingVQGAN.encode_codes)
+    rec = model.apply(variables, codes, method=TamingVQGAN.decode_codes)
+    assert rec.shape == (1, 64, 64, 3) and codes.max() < 16384
+    _finite(rec)
+    return "16384x256 f16 @ (64px probe), encode+decode"
+
+
+@target("taming_gpt_cin_1p4b")
+def _taming_gpt():
+    import torch
+
+    from deps.taming.modules.transformer.mingpt import GPT
+
+    from wmar_tpu.models.taming_gpt import GPTConfig, gpt_forward
+    from wmar_tpu.utils.convert import convert_taming_gpt
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = GPT(vocab_size=16384 + 1000, block_size=512, n_layer=48,
+                  n_head=24, n_embd=1664,
+                  embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0).eval()
+    sd = {f"transformer.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    del ref
+    cfg = GPTConfig(vocab_size=16384 + 1000, block_size=512, n_layer=48,
+                    n_head=24, n_embd=1664)
+    params = jax.tree.map(jnp.asarray, convert_taming_gpt(sd, cfg))
+    del sd
+    logits = gpt_forward(params, cfg, jnp.asarray([[16384 + 3, 5, 9]], jnp.int32))
+    if isinstance(logits, tuple):
+        logits = logits[0]
+    assert logits.shape[0] == 1 and logits.shape[-1] == cfg.vocab_size
+    _finite(logits)
+    return "48L x 1664d (1.4B), 3-token forward"
+
+
+@target("chameleon_vqgan_8192_512")
+def _chameleon_vqgan():
+    import torch
+
+    from deps.chameleon.inference.vqgan import VQModel
+
+    from wmar_tpu.models.vqgan import TamingVQGAN, VQGANConfig
+    from wmar_tpu.utils.convert import convert_taming_vqgan
+
+    # Published geometry with resolution scaled 512->128 (attn stage fixed:
+    # 32 after 4 downs from 512 == 8 after 4 downs from 128).
+    ddconfig = dict(double_z=False, z_channels=256, resolution=128,
+                    in_channels=3, out_ch=3, ch=128, ch_mult=[1, 1, 2, 2, 4],
+                    num_res_blocks=2, attn_resolutions=[8], dropout=0.0)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = VQModel(ddconfig, n_embed=8192, embed_dim=256).eval()
+    sd = _np_sd(ref)
+    del ref
+    cfg = VQGANConfig(resolution=128, ch=128, ch_mult=(1, 1, 2, 2, 4),
+                      num_res_blocks=2, attn_resolutions=(8,), z_channels=256,
+                      n_embed=8192, embed_dim=256)
+    variables = jax.tree.map(jnp.asarray, convert_taming_vqgan(sd, cfg))
+    del sd
+    model = TamingVQGAN(cfg)
+    x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, 128, 128, 3)),
+                    jnp.float32)
+    codes = model.apply(variables, x, method=TamingVQGAN.encode_codes)
+    rec = model.apply(variables, codes, method=TamingVQGAN.decode_codes)
+    assert rec.shape == (1, 128, 128, 3)
+    _finite(rec)
+    return "8192x256 @512 cfg (128px probe), encode+decode"
+
+
+@target("maskgit_vqgan_rar")
+def _maskgit():
+    import torch
+
+    import test_reference_module_oracle as tro  # noqa: F401  (torchvision stub)
+    from deps.rar.modeling.modules.maskgit_vqgan import Decoder as MGDec
+    from deps.rar.modeling.modules.maskgit_vqgan import Encoder as MGEnc
+    from deps.rar.modeling.modules.maskgit_vqgan import VectorQuantizer as MGQ
+
+    from wmar_tpu.models.maskgit_vqgan import MaskGitVQConfig, MaskGitVQGAN
+    from wmar_tpu.utils.convert import convert_maskgit_vqgan
+
+    class NS(dict):
+        __getattr__ = dict.__getitem__
+
+    # Published maskgit-vqgan (RAR tokenizer) geometry, resolution scaled
+    # 256->64 (no attention: structure is resolution-independent).
+    conf = NS(channel_mult=[1, 1, 2, 2, 4], num_resolutions=5,
+              num_res_blocks=2, hidden_channels=128, num_channels=3,
+              quantized_embed_dim=256, num_embeddings=1024, dropout=0.0,
+              resolution=64, z_channels=256)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        enc, dec, q = MGEnc(conf).eval(), MGDec(conf).eval(), MGQ(1024, 256, 0.25).eval()
+    sd = {f"encoder.{k}": v for k, v in _np_sd(enc).items()}
+    sd.update({f"decoder.{k}": v for k, v in _np_sd(dec).items()})
+    sd.update({f"quantize.{k}": v for k, v in _np_sd(q).items()})
+    del enc, dec, q
+    cfg = MaskGitVQConfig(resolution=64)
+    variables = jax.tree.map(jnp.asarray, convert_maskgit_vqgan(sd, cfg))
+    del sd
+    model = MaskGitVQGAN(cfg)
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    codes = model.apply(variables, x, method=MaskGitVQGAN.encode_codes)
+    rec = model.apply(variables, codes, method=MaskGitVQGAN.decode_codes)
+    assert rec.shape == (1, 64, 64, 3)
+    _finite(rec)
+    return "published 128ch x (1,1,2,2,4) tokenizer geometry, encode+decode"
+
+
+# ---------------------------------------------------------------------------
+# WAM (wam_mit.pth layout at sam_base scale)
+# ---------------------------------------------------------------------------
+
+
+@target("wam_sam_base")
+def _wam():
+    import torch
+
+    import deps.watermark_anything.modules.vae as ref_vae
+    from deps.watermark_anything.models.embedder import VAEEmbedder
+    from deps.watermark_anything.modules.msg_processor import MsgProcessor
+    from deps.watermark_anything.modules.pixel_decoder import PixelDecoder
+    from deps.watermark_anything.modules.vit import ImageEncoderViT
+
+    from wmar_tpu.sync import wam_exact as wx
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        enc = ref_vae.VAEEncoder(ch=32, out_ch=3, ch_mult=[1, 1, 1, 2],
+                                 num_res_blocks=2, attn_resolutions=[],
+                                 in_channels=3, resolution=256, z_channels=4,
+                                 double_z=False)
+        dec = ref_vae.VAEDecoder(ch=32, out_ch=3, ch_mult=[1, 1, 1, 2],
+                                 num_res_blocks=2, attn_resolutions=[],
+                                 in_channels=3, resolution=256, z_channels=68,
+                                 tanh_out=True)
+        msg = MsgProcessor(nbits=32, hidden_size=64)
+        vit = ImageEncoderViT(img_size=256, patch_size=16, embed_dim=768,
+                              out_chans=256, depth=12, num_heads=12,
+                              window_size=14, global_attn_indexes=(2, 5, 8, 11),
+                              use_rel_pos=True).eval()
+        pd = PixelDecoder(embed_dim=256, nbits=32, upscale_stages=[4, 2, 2],
+                          upscale_type="bilinear")
+    sd = {}
+    sd.update({f"embedder.encoder.{k}": v for k, v in _np_sd(enc).items()})
+    sd.update({f"embedder.decoder.{k}": v for k, v in _np_sd(dec).items()})
+    sd.update({f"embedder.msg_processor.{k}": v for k, v in _np_sd(msg).items()})
+    sd.update({f"detector.image_encoder.{k}": v for k, v in _np_sd(vit).items()})
+    sd.update({f"detector.pixel_decoder.{k}": v for k, v in _np_sd(pd).items()})
+    del enc, dec, msg, vit, pd
+    params = wx.convert_wam(sd)  # defaults = sam_base geometry
+    del sd
+    wam = wx.WamExact(params)
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 256, 256, 3)),
+                    jnp.float32)
+    out = wam.embed(x, jnp.zeros((1, 32), jnp.int32))
+    preds = wam.detect(x)
+    assert out.shape == x.shape and preds.shape[0] == 1
+    _finite(out, "embed")
+    _finite(preds, "detect")
+    return "sam_base 768x12L + VAE embedder + pixel decoder, embed+detect @256"
+
+
+# ---------------------------------------------------------------------------
+# SyncSeal (published unet-small2-yuv + convnext-tiny + discriminator)
+# ---------------------------------------------------------------------------
+
+
+@target("syncseal")
+def _syncseal():
+    import torch
+
+    import test_syncseal_parity as tsp
+
+    from wmar_tpu.sync.syncseal_models import (
+        CONVNEXT_TINY,
+        UNET_SMALL2_YUV,
+        convert_convnext,
+        convert_discriminator,
+        convert_unet,
+        convnext_forward,
+        discriminator_forward,
+        unet_forward,
+    )
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        unet = tsp.TorchUNet(UNET_SMALL2_YUV).eval()
+        cnx = tsp.TorchConvNeXt(CONVNEXT_TINY).eval()
+        disc = tsp.TorchDiscriminator(ndf=64, n_layers=3).eval()
+    up = jax.tree.map(jnp.asarray, convert_unet(_np_sd(unet), UNET_SMALL2_YUV))
+    cp = jax.tree.map(jnp.asarray, convert_convnext(_np_sd(cnx), CONVNEXT_TINY))
+    dp = jax.tree.map(lambda a: a if isinstance(a, int) else jnp.asarray(a),
+                      convert_discriminator(_np_sd(disc), n_layers=3))
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, UNET_SMALL2_YUV.in_channels)),
+                    jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)), jnp.float32)
+    wm = unet_forward(up, UNET_SMALL2_YUV, y)
+    pts = convnext_forward(cp, CONVNEXT_TINY, x)
+    d = discriminator_forward(dp, x)
+    _finite(wm, "embedder")
+    _finite(pts, "extractor")
+    _finite(d, "discriminator")
+    return "unet-small2-yuv + convnext-tiny + NLayerDisc(64) @256"
+
+
+# ---------------------------------------------------------------------------
+# DiffPure ADM-256 + FID inception + neural codecs
+# ---------------------------------------------------------------------------
+
+
+@target("adm_256")
+def _adm():
+    import torch
+
+    sys.path.insert(0, REF + "/deps/saberi_wmr/DiffPure")
+    from guided_diffusion.unet import UNetModel
+
+    from wmar_tpu.augmentations.diffpure import ADMConfig, ADMUNet, convert_adm_unet
+
+    cfg = ADMConfig()  # published 256x256_diffusion_uncond geometry
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = UNetModel(
+            image_size=256, in_channels=3, model_channels=cfg.model_channels,
+            out_channels=6, num_res_blocks=cfg.num_res_blocks,
+            attention_resolutions=tuple(256 // r for r in cfg.attention_resolutions),
+            channel_mult=cfg.channel_mult, num_head_channels=64,
+            resblock_updown=True, use_scale_shift_norm=True, use_fp16=False,
+            dropout=0.0,
+        ).eval()
+    sd = _np_sd(ref)
+    del ref
+    params = jax.tree.map(jnp.asarray, convert_adm_unet(sd, cfg))
+    del sd
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (1, 64, 64, 3)), jnp.float32)
+    out = ADMUNet(cfg).apply(params, x, jnp.asarray([10.0]))
+    assert out.shape[-1] == 6
+    _finite(out)
+    return "256x256_diffusion_uncond geometry, 1 UNet step @64 probe"
+
+
+@target("pt_inception_fid")
+def _fid():
+    import torch
+
+    import test_fid as tf
+
+    from wmar_tpu.eval.fid import convert_inception, inception_pool3
+
+    old_d = tf.D
+    tf.D = 1  # oracle at the REAL pt_inception width
+    try:
+        ref = tf._randomized()
+    finally:
+        tf.D = old_d
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+    del ref
+    params = jax.tree.map(jnp.asarray, convert_inception(sd))
+    del sd
+    x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, 299, 299, 3)),
+                    jnp.float32)
+    feats = inception_pool3(params, x)
+    assert feats.shape == (1, 2048)
+    _finite(feats)
+    return "pt_inception full geometry, 2048-d pool features @299"
+
+
+@target("compressai_bank")
+def _compressai():
+    import torch
+
+    import test_compressai_parity as tcp
+
+    from wmar_tpu.augmentations import compressai_jax as cj
+
+    ctors = {
+        "bmshj2018-factorized": tcp.FactorizedPrior,
+        "bmshj2018-hyperprior": tcp.ScaleHyperprior,
+        "mbt2018-mean": tcp.MeanScaleHyperprior,
+        "mbt2018": tcp.JointAutoregressive,
+        "cheng2020-anchor": tcp.Cheng2020Anchor,
+        "cheng2020-attn": tcp.Cheng2020Attention,
+    }
+    qual = {"bmshj2018-factorized": (1, 8), "bmshj2018-hyperprior": (1, 8),
+            "mbt2018-mean": (1, 8), "mbt2018": (1, 8),
+            "cheng2020-anchor": (1, 6), "cheng2020-attn": (1, 6)}
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    notes = []
+    for arch, ctor in ctors.items():
+        for q in qual[arch]:
+            n, m = cj.quality_nm(arch, q)
+            torch.manual_seed(0)
+            with torch.no_grad():
+                if arch.startswith("cheng"):
+                    ref = ctor(n).eval()
+                else:
+                    ref = ctor(n, m).eval()
+            params = cj.convert_compressai(tcp._state_dict_np(ref), arch)
+            del ref
+            out, liks = cj.FORWARDS[arch](jax.tree.map(jnp.asarray, params), x)
+            assert out.shape == x.shape
+            _finite(out, arch)
+            bpp = float(cj.bpp_from_likelihoods(liks, 64 * 64))
+            assert np.isfinite(bpp) and bpp > 0
+            notes.append(f"{arch}-q{q}({n},{m})")
+    return f"{len(notes)} tier geometries: " + " ".join(notes)
+
+
+@target("klvae_sd_sdxl_flux")
+def _klvae():
+    import torch
+
+    import test_diffusers_vae_parity as tdv
+
+    from wmar_tpu.augmentations.diffusers_vae import (
+        KLVAEConfig,
+        convert_kl_vae,
+        kl_vae_forward,
+    )
+
+    # All three published AutoencoderKL geometries share the block layout;
+    # FLUX widens the latent to 16 and drops the quant convs.
+    variants = {
+        "sd": KLVAEConfig(),
+        "flux": KLVAEConfig(latent_channels=16, use_quant_conv=False),
+    }
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    old_groups = tdv.GROUPS
+    tdv.GROUPS = 32  # published norm_num_groups (the oracle's tiny default is smaller)
+    notes = []
+    try:
+        for name, cfg in variants.items():
+            torch.manual_seed(0)
+            with torch.no_grad():
+                ref = tdv.TinyAutoencoderKL(cfg).eval()
+            params = jax.tree.map(jnp.asarray, convert_kl_vae(_np_sd(ref), cfg))
+            del ref
+            out = kl_vae_forward(params, cfg, x, jax.random.PRNGKey(0))
+            assert out.shape == x.shape
+            _finite(out, name)
+            notes.append(f"{name}({cfg.latent_channels}z)")
+    finally:
+        tdv.GROUPS = old_groups
+    return "full 128-256-512-512 block geometry (sd/sdxl layout + flux): " + " ".join(notes)
+
+
+@target("dcae_f64c128")
+def _dcae():
+    import torch
+
+    import test_dcae_parity as tdc
+
+    from wmar_tpu.augmentations.dcae import convert_dcae, dcae_decode, dcae_encode
+
+    # mit-han-lab/dc-ae-f64c128-in-1.0-diffusers stage geometry: 6 stages,
+    # ResBlock x3 then EfficientViTBlock x3, widths 128..1024, deep stem.
+    # (The oracle's latent width is fixed at 4; the converter reads the
+    # latent from conv shapes, so stage-geometry inference — the failure
+    # mode this target guards — is fully exercised.)
+    old = (tdc.CH, tdc.TYPES, tdc.MS, tdc.HEAD_DIM)
+    tdc.CH = [128, 256, 512, 512, 1024, 1024]
+    tdc.TYPES = ["ResBlock"] * 3 + ["EfficientViTBlock"] * 3
+    tdc.MS = [(), (), (), (5,), (5,), (5,)]
+    tdc.HEAD_DIM = 32
+    try:
+        torch.manual_seed(0)
+        with torch.no_grad():
+            ref = tdc._randomize(
+                tdc.AutoencoderDC([0, 2, 2, 3, 3, 3], "pixel_unshuffle",
+                                  "interpolate", True), 0).eval()
+        params, cfg = convert_dcae(_np_sd(ref), attention_head_dim=32)
+        del ref
+    finally:
+        tdc.CH, tdc.TYPES, tdc.MS, tdc.HEAD_DIM = old
+    params = jax.tree.map(jnp.asarray, params)
+    x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    z = dcae_encode(params, cfg, x)
+    out = dcae_decode(params, cfg, z)
+    assert out.shape == x.shape
+    _finite(out)
+    return "f64c128 6-stage widths (128..1024, deep stem) @64 probe"
+
+
+# ---------------------------------------------------------------------------
+# Audio: EnCodec / DAC / Mimi / AudioSeal / Moshi conditioners
+# ---------------------------------------------------------------------------
+
+
+@target("encodec_24k_hf")
+def _encodec():
+    import torch
+    import transformers
+
+    from wmar_tpu.audio.codecs import ENCODEC_24K, convert_encodec, encodec_roundtrip
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = transformers.EncodecModel(transformers.EncodecConfig()).eval()
+    params = jax.tree.map(jnp.asarray, convert_encodec(_np_sd(model), ENCODEC_24K))
+    del model
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 0.1, (1, 1600, 1)), jnp.float32)
+    out = encodec_roundtrip(params, ENCODEC_24K, x)
+    _finite(out)
+    return "facebook/encodec_24khz geometry (REAL HF module as source)"
+
+
+@target("dac_24k")
+def _dac():
+    import torch
+
+    import test_audio_codecs_parity as tac
+
+    from wmar_tpu.audio.codecs import DAC_24K, convert_dac, dac_roundtrip
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = tac.DACOracle(DAC_24K).eval()
+    params = jax.tree.map(jnp.asarray, convert_dac(_np_sd(ref), DAC_24K))
+    del ref
+    hop = int(np.prod(DAC_24K.encoder_rates))
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 0.1, (1, 2 * hop, 1)), jnp.float32)
+    out = dac_roundtrip(params, DAC_24K, x)
+    _finite(out)
+    return "descript 24khz geometry, round trip"
+
+
+def _reference_mimi_sd(cfg):
+    """State dict of the reference MimiModel at the given geometry."""
+    import torch
+
+    import test_reference_module_oracle as tro  # noqa: F401  (torchvision stub)
+
+    if REF + "/wmar_audio" not in sys.path:
+        sys.path.append(REF + "/wmar_audio")
+    from moshi.models.compression import MimiModel
+    from moshi.modules import SEANetDecoder, SEANetEncoder
+    from moshi.modules import transformer as mtr
+    from moshi.quantization import SplitResidualVectorQuantizer
+
+    torch.manual_seed(0)
+    seanet_kwargs = dict(
+        channels=1, dimension=cfg.dimension, causal=True,
+        n_filters=cfg.n_filters, n_residual_layers=cfg.n_residual_layers,
+        activation="ELU", compress=2, dilation_base=cfg.dilation_base,
+        disable_norm_outer_blocks=0, kernel_size=cfg.kernel_size,
+        residual_kernel_size=cfg.residual_kernel_size,
+        last_kernel_size=cfg.last_kernel_size, norm="none",
+        pad_mode="constant", ratios=list(cfg.ratios), true_skip=True,
+    )
+    ff = cfg.transformer_ff or 4 * cfg.dimension
+    tr_kwargs = dict(
+        d_model=cfg.dimension, num_heads=cfg.transformer_heads,
+        num_layers=cfg.transformer_layers, causal=True,
+        layer_scale=cfg.layer_scale, context=cfg.transformer_context,
+        conv_layout=True, max_period=10000, gating="none", norm="layer_norm",
+        positional_embedding="rope", dim_feedforward=ff,
+        input_dimension=cfg.dimension, output_dimensions=[cfg.dimension],
+    )
+    q_kwargs = dict(dimension=cfg.codebook_dim, n_q=cfg.n_q,
+                    bins=cfg.cardinality, input_dimension=cfg.dimension,
+                    output_dimension=cfg.dimension)
+    enc_rate = 24000 / int(np.prod(cfg.ratios))
+    with torch.no_grad():
+        ref = MimiModel(
+            SEANetEncoder(**seanet_kwargs), SEANetDecoder(**seanet_kwargs),
+            SplitResidualVectorQuantizer(**q_kwargs), channels=1,
+            sample_rate=24000, frame_rate=enc_rate / cfg.downsample,
+            encoder_frame_rate=enc_rate, causal=True, resample_method="conv",
+            encoder_transformer=mtr.ProjectedTransformer(**tr_kwargs),
+            decoder_transformer=mtr.ProjectedTransformer(**tr_kwargs),
+        ).eval()
+        for name, buf in ref.state_dict().items():
+            if name.endswith("embedding_sum"):
+                buf.normal_(0, 1.0)
+            if name.endswith("cluster_usage"):
+                buf.fill_(1.0)
+    return _np_sd(ref)
+
+
+@target("mimi_v01")
+def _mimi():
+    from wmar_tpu.audio.mimi import MIMI_V0_1, Mimi, convert_mimi
+
+    sd = _reference_mimi_sd(MIMI_V0_1)
+    params = jax.tree.map(jnp.asarray, convert_mimi(sd, MIMI_V0_1))
+    del sd
+    mimi = Mimi(MIMI_V0_1)
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 0.1,
+                    (1, 2 * MIMI_V0_1.hop_length, 1)), jnp.float32)
+    codes = mimi.apply(params, x, method=Mimi.encode)
+    pcm = mimi.apply(params, codes, method=Mimi.decode)
+    assert codes.shape[1] == MIMI_V0_1.n_q
+    _finite(pcm)
+    return "MIMI_V0_1 full geometry (512d SEANet + 8L rope transformer), encode+decode"
+
+
+@target("audioseal_16b")
+def _audioseal():
+    from wmar_tpu.audio import audioseal as A
+
+    cfg = A.AUDIOSEAL_16B
+    gp, gcfg = A.convert_audioseal_generator(A.synthetic_generator_sd(cfg))
+    dp, dcfg = A.convert_audioseal_detector(A.synthetic_detector_sd(cfg))
+    assert gcfg.ratios == cfg.ratios and dcfg.nbits == 16
+    model = A.AudioSealModel(gp, dp, gcfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 0.1,
+                    (1, 2 * cfg.hop_length, 1)), jnp.float32)
+    delta = model.get_watermark(x)
+    presence = model.detect(x + delta)
+    _finite(delta)
+    _finite(presence)
+    return "audioseal_wm/detector_16bits geometry (shape-driven)"
+
+
+@target("lpips_vgg16")
+def _lpips():
+    """torchvision VGG16 + LPIPS lin heads at the published geometry
+    through tools/convert_lpips.py (the converter's key ordering scrambled
+    blocks at real indices before this target existed)."""
+    import tempfile
+
+    import torch
+
+    import convert_lpips as cl
+
+    from wmar_tpu.finetune.perceptual import LPIPS
+    from wmar_tpu.utils.checkpoint import load_pytree
+
+    # Published torchvision vgg16.features conv layout.
+    chans = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+             (256, 256), (256, 512), (512, 512), (512, 512), (512, 512),
+             (512, 512), (512, 512)]
+    conv_idx = [i for blk in cl._VGG_TORCH_IDX for i in blk]
+    torch.manual_seed(0)
+    vgg_sd = {}
+    for (ci, co), idx in zip(chans, conv_idx):
+        vgg_sd[f"features.{idx}.weight"] = torch.randn(co, ci, 3, 3) * 0.02
+        vgg_sd[f"features.{idx}.bias"] = torch.randn(co) * 0.02
+    lin_sd = {f"lin{i}.model.1.weight": torch.rand(1, c, 1, 1)
+              for i, c in enumerate([64, 128, 256, 512, 512])}
+    with tempfile.TemporaryDirectory() as td:
+        vp, lp, out = (os.path.join(td, n) for n in ("vgg.pth", "lin.pth", "l.msgpack"))
+        torch.save(vgg_sd, vp)
+        torch.save(lin_sd, lp)
+        rc = cl.main(["--out", out, "--vgg_ckpt", vp, "--lpips_ckpt", lp])
+        assert rc == 0
+        import flax.serialization as fser
+
+        with open(out, "rb") as f:
+            variables = fser.msgpack_restore(f.read())
+    variables = jax.tree.map(jnp.asarray, variables)
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+    d = LPIPS().apply(variables, a, b)
+    assert d.shape == (1,)
+    _finite(d)
+    assert float(LPIPS().apply(variables, a, a)[0]) < 1e-6
+    del load_pytree
+    return "vgg16 published conv layout + 5 lin heads, distance forward"
+
+
+@target("moshi_conditioners")
+def _conditioners():
+    """Released conditioner layout (hibiki-style LUT conditioner) at a full
+    temporal width."""
+    from wmar_tpu.audio.conditioners import (
+        LUTConditionerConfig,
+        convert_conditioners,
+        lut_condition,
+        tokenize_lut,
+    )
+
+    rng = np.random.default_rng(0)
+    cfg = LUTConditionerConfig(n_bins=31, dim=16, output_dim=4096)
+    sd = {
+        "condition_provider.conditioners.description.embed.weight":
+            rng.normal(0, 0.02, (32, 16)).astype(np.float32),
+        "condition_provider.conditioners.description.output_proj.weight":
+            rng.normal(0, 0.02, (4096, 16)).astype(np.float32),
+        "condition_provider.conditioners.description.learnt_padding":
+            rng.normal(0, 0.2, (1, 1, 4096)).astype(np.float32),
+    }
+    provider = convert_conditioners(sd, {"description": cfg})
+    ccfg, params = provider["description"]
+    toks, mask = tokenize_lut(ccfg, ["very good", None])
+    cond = lut_condition(params, toks, mask)
+    assert cond.shape[-1] == 4096
+    _finite(cond)
+    return "LUT conditioner at 4096-d output (temporal dim of MOSHI_V01)"
+
+
+# ---------------------------------------------------------------------------
+# 7B-scale targets (--slow): Chameleon Llama shards + Moshi LM
+# ---------------------------------------------------------------------------
+
+
+@target("chameleon_llama_7b", slow=True)
+def _chameleon_llama():
+    """Synthetic 4-shard consolidated.pth layout at the full 7B geometry
+    (zero weights: layout + shapes are what is being validated; the compute
+    path at 7B under TP=8 is proven by tools/prove_7b_tp.py)."""
+    from wmar_tpu.engine.kvcache import KVCache
+    from wmar_tpu.models.llama import LlamaConfig, llama_forward
+    from wmar_tpu.utils.convert import convert_chameleon_llama, merge_chameleon_shards
+
+    cfg = LlamaConfig(vocab_size=65536, dim=4096, n_layers=32, n_heads=32)
+    hidden = cfg.ffn_hidden
+    head_dim = cfg.dim // cfg.n_heads
+    n_shards = 4
+
+    def shard(_r):
+        # Zero weights: layout + shapes are what is validated; float16 zeros
+        # keep the 4x 7B/4 shards cheap to materialize.
+        sd = {}
+
+        def z(name, *shape):
+            sd[name] = np.zeros(shape, np.float16)
+
+        z("tok_embeddings.weight", cfg.vocab_size // n_shards, cfg.dim)
+        z("norm.weight", cfg.dim)
+        z("output.weight", cfg.vocab_size // n_shards, cfg.dim)
+        for layer in range(cfg.n_layers):
+            pre = f"layers.{layer}."
+            z(pre + "attention.wqkv.weight", 3 * cfg.dim // n_shards, cfg.dim)
+            z(pre + "attention.wo.weight", cfg.dim, cfg.dim // n_shards)
+            z(pre + "attention.q_normalization.weight", head_dim)
+            z(pre + "attention.q_normalization.bias", head_dim)
+            z(pre + "attention.k_normalization.weight", head_dim)
+            z(pre + "attention.k_normalization.bias", head_dim)
+            z(pre + "feed_forward.w1.weight", hidden // n_shards, cfg.dim)
+            z(pre + "feed_forward.w3.weight", hidden // n_shards, cfg.dim)
+            z(pre + "feed_forward.w2.weight", cfg.dim, hidden // n_shards)
+            z(pre + "attention_norm.weight", cfg.dim)
+            z(pre + "ffn_norm.weight", cfg.dim)
+        return sd
+
+    merged = merge_chameleon_shards([shard(r) for r in range(n_shards)])
+    assert merged["tok_embeddings.weight"].shape == (cfg.vocab_size, cfg.dim)
+    assert merged["layers.0.attention.wqkv.weight"].shape == (3 * cfg.dim, cfg.dim)
+    params = convert_chameleon_llama(merged, cfg)
+    del merged
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16)
+                          if np.asarray(a).ndim >= 1 else jnp.asarray(a), params)
+    cache = KVCache.zeros(cfg.n_layers, 1, cfg.n_heads, 8, head_dim,
+                          dtype=jnp.bfloat16)
+    tokens = jnp.asarray([[1, 2]], jnp.int32)
+    positions = jnp.asarray([[0, 1]], jnp.int32)
+    logits, _ = llama_forward(params, cfg, tokens, cache, jnp.int32(0), positions)
+    assert logits.shape[-1] == cfg.vocab_size
+    _finite(logits)
+    return f"7B 4-shard merge + convert (ffn {hidden}) + 2-token forward"
+
+
+@target("moshi_lm_v01", slow=True)
+def _moshi():
+    """Reference LMModel at the full MOSHI_V01 geometry (7B-class: 32L x
+    4096d temporal + 6L x 1024d weights-per-step depformer)."""
+    import torch
+
+    import test_reference_module_oracle as tro  # noqa: F401  (torchvision stub)
+
+    if REF + "/wmar_audio" not in sys.path:
+        sys.path.append(REF + "/wmar_audio")
+    from moshi.models.lm import LMModel
+
+    from wmar_tpu.audio.lm import MOSHI_V01, MoshiGen, WMConfig
+    from wmar_tpu.utils.convert import convert_moshi_lm
+
+    cfg = MOSHI_V01
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = LMModel(
+            dim=cfg.dim, text_card=cfg.text_vocab, n_q=cfg.n_q,
+            dep_q=cfg.n_audio_streams, card=cfg.audio_vocab,
+            num_heads=cfg.n_heads, num_layers=cfg.n_layers,
+            hidden_scale=cfg.hidden_scale, causal=True, context=3000,
+            gating="silu", norm="rms_norm_f32", positional_embedding="rope",
+            depformer_dim=cfg.dep_dim,
+            depformer_dim_feedforward=int(cfg.hidden_scale * cfg.dep_dim),
+            depformer_num_heads=cfg.dep_heads,
+            depformer_num_layers=cfg.dep_layers, depformer_causal=True,
+            depformer_context=8, depformer_gating="silu",
+            depformer_pos_emb="none", depformer_multi_linear=True,
+            depformer_weights_per_step=True, delays=list(cfg.delays),
+        ).eval()
+    sd = _np_sd(ref)
+    del ref
+    params = convert_moshi_lm(sd, cfg)
+    del sd
+    params = jax.tree.map(jnp.asarray, params)
+    gen = MoshiGen(params, cfg, WMConfig(method="none", ngram=0, greedy=True))
+    text, audio = gen.generate(2, jax.random.PRNGKey(0), batch=1)
+    _finite(np.asarray(audio))
+    return "MOSHI_V01 full geometry, 2 generation steps"
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="full-geometry converter validation")
+    p.add_argument("--only", default=None, help="regex filter on target names")
+    p.add_argument("--slow", action="store_true", help="include 7B targets")
+    p.add_argument("--list", action="store_true")
+    args = p.parse_args(argv)
+
+    names = [n for n, (fn, slow) in TARGETS.items()
+             if (args.slow or not slow)
+             and (args.only is None or re.search(args.only, n))]
+    if args.list:
+        for n in names:
+            print(n)
+        return 0
+
+    results = []
+    for name in names:
+        fn, _ = TARGETS[name]
+        t0 = time.time()
+        try:
+            note = fn()
+            ok = True
+        except Exception:
+            note = traceback.format_exc().strip().splitlines()[-1]
+            ok = False
+        wall = time.time() - t0
+        results.append((name, ok, wall, note))
+        print(f"{'PASS' if ok else 'FAIL':4} {name:28} {wall:7.1f}s  {note}")
+    n_ok = sum(1 for _, ok, _, _ in results if ok)
+    print(f"\n{n_ok}/{len(results)} converter geometries validated")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
