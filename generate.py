@@ -152,7 +152,9 @@ def load_wrapper(args):
         wrapper = RarARMM(rar_params, rar_cfg, vq_params, vq_cfg, alive_ids=alive)
     elif args.model == "taming":
         gpt_cfg = GPTConfig(**meta.get(
-            "gpt", dict(vocab_size=16384, block_size=512, n_layer=48, n_head=24, n_embd=1664)
+            # published cin_transformer geometry; 1664 % n_head must be 0
+            # (reference mingpt.py:51) — taming's net2net GPTs use 16 heads
+            "gpt", dict(vocab_size=16384, block_size=512, n_layer=48, n_head=16, n_embd=1664)
         ))
         vq_cfg = TAMING_IMAGENET_F16
         vq = TamingVQGAN(vq_cfg)

@@ -1,0 +1,37 @@
+"""The full-geometry converter validation tool stays wired (VERDICT r2 #2).
+
+The heavy targets run via ``python tools/validate_converters.py`` (wall
+times recorded in docs); this test keeps the registry importable and runs
+the cheapest full-geometry target end-to-end in CI.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "tools", "validate_converters.py")
+
+
+def test_registry_lists_expected_targets():
+    out = subprocess.run([sys.executable, TOOL, "--list", "--slow"],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    names = set(out.stdout.split())
+    expected = {
+        "rar_b", "rar_l", "rar_xl", "rar_xxl", "taming_vqgan_f16_16384",
+        "taming_gpt_cin_1p4b", "chameleon_vqgan_8192_512", "maskgit_vqgan_rar",
+        "wam_sam_base", "syncseal", "adm_256", "pt_inception_fid",
+        "compressai_bank", "klvae_sd_sdxl_flux", "dcae_f64c128",
+        "encodec_24k_hf", "dac_24k", "mimi_v01", "audioseal_16b",
+        "lpips_vgg16", "moshi_conditioners", "chameleon_llama_7b",
+        "moshi_lm_v01",
+    }
+    assert expected <= names, expected - names
+
+
+def test_cheapest_target_runs_green():
+    out = subprocess.run([sys.executable, TOOL, "--only", "moshi_conditioners"],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-1000:])
+    assert "PASS moshi_conditioners" in out.stdout

@@ -179,12 +179,12 @@ def _taming_gpt():
     torch.manual_seed(0)
     with torch.no_grad():
         ref = GPT(vocab_size=16384 + 1000, block_size=512, n_layer=48,
-                  n_head=24, n_embd=1664,
+                  n_head=16, n_embd=1664,
                   embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0).eval()
     sd = {f"transformer.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
     del ref
     cfg = GPTConfig(vocab_size=16384 + 1000, block_size=512, n_layer=48,
-                    n_head=24, n_embd=1664)
+                    n_head=16, n_embd=1664)
     params = jax.tree.map(jnp.asarray, convert_taming_gpt(sd, cfg))
     del sd
     logits = gpt_forward(params, cfg, jnp.asarray([[16384 + 3, 5, 9]], jnp.int32))
