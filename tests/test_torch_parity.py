@@ -446,3 +446,39 @@ def test_rcc_delta_conversion(torch_vqgan):
     with _pytest.raises(KeyError):
         convert_vqgan_delta(base_sd, {"nope.weight": np.zeros(1, np.float32)},
                             "decoder", fn)
+
+
+def test_merge_chameleon_shards_semantics():
+    """TP shard merge: unfused column/row-parallel concat + fused
+    wqkv/w13 per-component regrouping (reference loader.py:37-71 +
+    transformer.py:95,211 load-hook fusion)."""
+    rng = np.random.default_rng(0)
+    d, hidden, n = 8, 12, 2
+    wq = rng.normal(size=(d, d)).astype(np.float32)
+    w1 = rng.normal(size=(hidden, d)).astype(np.float32)
+    w3 = rng.normal(size=(hidden, d)).astype(np.float32)
+    wo = rng.normal(size=(d, d)).astype(np.float32)
+    norm = rng.normal(size=(d,)).astype(np.float32)
+    qkv_full = np.concatenate([wq, 2 * wq, 3 * wq], axis=0)
+
+    shards = []
+    for r in range(n):
+        rows = slice(r * d // n, (r + 1) * d // n)
+        hrows = slice(r * hidden // n, (r + 1) * hidden // n)
+        shards.append({
+            "layers.0.attention.wq.weight": wq[rows],
+            "layers.0.feed_forward.w1.weight": w1[hrows],
+            "layers.0.feed_forward.w3.weight": w3[hrows],
+            "layers.0.attention.wo.weight": wo[:, rows],
+            "layers.0.attention_norm.weight": norm,
+            # pre-fused sharded layout: each shard stacks its q/k/v slices
+            "layers.0.attention.wqkv.weight": np.concatenate(
+                [wq[rows], 2 * wq[rows], 3 * wq[rows]], axis=0),
+        })
+    merged = convert.merge_chameleon_shards(shards)
+    np.testing.assert_array_equal(merged["layers.0.attention.wq.weight"], wq)
+    np.testing.assert_array_equal(merged["layers.0.feed_forward.w1.weight"], w1)
+    np.testing.assert_array_equal(merged["layers.0.attention.wo.weight"], wo)
+    np.testing.assert_array_equal(merged["layers.0.attention_norm.weight"], norm)
+    np.testing.assert_array_equal(
+        merged["layers.0.attention.wqkv.weight"], qkv_full)

@@ -790,8 +790,12 @@ def _chameleon_llama():
         z("norm.weight", cfg.dim)
         z("output.weight", cfg.vocab_size // n_shards, cfg.dim)
         for layer in range(cfg.n_layers):
+            # Published shard layout is UNFUSED (the reference's load hooks
+            # fuse wqkv/w13 after loading, transformer.py:95,211).
             pre = f"layers.{layer}."
-            z(pre + "attention.wqkv.weight", 3 * cfg.dim // n_shards, cfg.dim)
+            z(pre + "attention.wq.weight", cfg.dim // n_shards, cfg.dim)
+            z(pre + "attention.wk.weight", cfg.dim // n_shards, cfg.dim)
+            z(pre + "attention.wv.weight", cfg.dim // n_shards, cfg.dim)
             z(pre + "attention.wo.weight", cfg.dim, cfg.dim // n_shards)
             z(pre + "attention.q_normalization.weight", head_dim)
             z(pre + "attention.q_normalization.bias", head_dim)
@@ -806,7 +810,8 @@ def _chameleon_llama():
 
     merged = merge_chameleon_shards([shard(r) for r in range(n_shards)])
     assert merged["tok_embeddings.weight"].shape == (cfg.vocab_size, cfg.dim)
-    assert merged["layers.0.attention.wqkv.weight"].shape == (3 * cfg.dim, cfg.dim)
+    assert merged["layers.0.attention.wq.weight"].shape == (cfg.dim, cfg.dim)
+    assert merged["layers.0.feed_forward.w1.weight"].shape == (hidden, cfg.dim)
     params = convert_chameleon_llama(merged, cfg)
     del merged
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16)
@@ -892,7 +897,11 @@ def main(argv=None):
             note = fn()
             ok = True
         except Exception:
-            note = traceback.format_exc().strip().splitlines()[-1]
+            lines = [ln for ln in traceback.format_exc().strip().splitlines()
+                     if ln.strip() and "For simplicity" not in ln
+                     and "JAX_TRACEBACK_FILTERING" not in ln
+                     and not ln.startswith("----")]
+            note = lines[-1] if lines else "unknown error"
             ok = False
         wall = time.time() - t0
         results.append((name, ok, wall, note))

@@ -186,12 +186,23 @@ class Quant4KVCache:
 
     @staticmethod
     def _quantize(x: jnp.ndarray):
-        """[B, H, t, D] -> (nibble-packed int8 [B, H, t, D//2], bf16 scale)."""
+        """[B, H, t, D] -> (nibble-packed uint8 [B, H, t, D//2], bf16 scale).
+
+        De-interleaved layout: the low nibble holds dim d, the high nibble
+        dim d + D/2 — unpack is then a plain concatenate (no even/odd
+        stack + reshape shuffle, which XLA lowers to an expensive
+        interleave). Attention is permutation-invariant along head_dim as
+        long as Q/K use the same layout, and V's permutation is undone by
+        ``wo`` only for *converted* weights — so the dequantize below
+        restores the original order explicitly via the split+concat, which
+        IS the inverse of this packing.
+        """
         absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
         scale = jnp.maximum(absmax, 1e-8) / 7.0
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7)
         u = (q + 8.0).astype(jnp.uint8)  # [1, 15]
-        lo, hi = u[..., 0::2], u[..., 1::2]
+        half = u.shape[-1] // 2
+        lo, hi = u[..., :half], u[..., half:]
         packed = lo | (hi << 4)  # uint8 payload
         return packed, scale.astype(jnp.bfloat16)
 
@@ -200,7 +211,7 @@ class Quant4KVCache:
         u = packed
         lo = (u & 0xF).astype(jnp.bfloat16) - 8.0
         hi = ((u >> 4) & 0xF).astype(jnp.bfloat16) - 8.0
-        x = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+        x = jnp.concatenate([lo, hi], axis=-1)
         return x * scale[..., None]
 
     def write(self, layer: int, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "Quant4KVCache":

@@ -305,15 +305,31 @@ def convert_rar(sd: StateDict, cfg: RARConfig, prefix: str = "") -> dict:
 
 def merge_chameleon_shards(shards):
     """Merge tensor-parallel ``consolidated.{rank:02}.pth`` shards
-    (``deps/chameleon/inference/loader.py:37-71``): column-parallel weights
-    (wqkv, w13, output, tok_embeddings) concat on dim 0; row-parallel
-    (wo, w2) concat on dim 1; norms are replicated."""
+    (``deps/chameleon/inference/loader.py:37-71``).
+
+    The published shards store UNFUSED attention/ffn weights — the
+    reference's load hooks fuse wq/wk/wv -> wqkv and w1/w3 -> w13 *after*
+    loading (``transformer.py:95,211``). Column-parallel weights (wq, wk,
+    wv, w1, w3, output, tok_embeddings) concat on dim 0; row-parallel (wo,
+    w2) concat on dim 1; norms are replicated. Pre-fused sharded keys
+    (wqkv/w13), if ever encountered, are regrouped per component before
+    concatenation — a naive dim-0 concat would interleave
+    ``[q0,k0,v0,q1,...]`` (MHA equal-thirds assumed, which holds for the
+    7B's 32=32 kv heads)."""
     if len(shards) == 1:
         return dict(shards[0])
     out = {}
     for key in shards[0]:
         parts = [s[key] for s in shards]
-        if any(t in key for t in ("wqkv", "w13", "output.weight", "tok_embeddings")):
+        if "wqkv" in key or "w13" in key:
+            n = 3 if "wqkv" in key else 2
+            groups = [np.split(np.asarray(p), n, axis=0) for p in parts]
+            out[key] = np.concatenate(
+                [np.concatenate([g[i] for g in groups], axis=0) for i in range(n)],
+                axis=0,
+            )
+        elif any(t in key for t in (".wq.", ".wk.", ".wv.", ".w1.", ".w3.",
+                                    "output.weight", "tok_embeddings")):
             out[key] = np.concatenate(parts, axis=0)
         elif any(t in key for t in (".wo.", ".w2.")):
             out[key] = np.concatenate(parts, axis=1)
