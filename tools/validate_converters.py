@@ -856,7 +856,9 @@ def _moshi():
             depformer_num_layers=cfg.dep_layers, depformer_causal=True,
             depformer_context=8, depformer_gating="silu",
             depformer_pos_emb="none", depformer_multi_linear=True,
-            depformer_weights_per_step=True, delays=list(cfg.delays),
+            depformer_weights_per_step=True,
+            # LMModel delays cover text + all n_q audio streams
+            delays=[0] + list(cfg.delays),
         ).eval()
     sd = _np_sd(ref)
     del ref
