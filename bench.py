@@ -65,6 +65,12 @@ def main():
 
     dtype = jnp.bfloat16
     rar_params = init_rar_params(jax.random.PRNGKey(0), rar_cfg, dtype=dtype)
+    if os.environ.get("BENCH_W8") == "1":
+        # weight-only int8: halves the ~0.9 GB/step weight HBM reads while
+        # keeping the activation stream bf16 (embeddings seed compute dtype)
+        from wmar_tpu.models.rar import quantize_rar_params_int8
+
+        rar_params = quantize_rar_params_int8(rar_params, compute_dtype=dtype)
     vq = MaskGitVQGAN(vq_cfg)
     vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3)))
     vq_params = jax.tree.map(lambda x: x.astype(dtype), vq_params)

@@ -52,6 +52,11 @@ def get_parser():
                    help="KV-cache dtype override; int8 halves decode-attention "
                         "HBM reads (~0.4%% quantization noise, not token-exact); "
                         "int4 (nibble-packed) halves them again at ~7%% noise")
+    p.add_argument("--weight_dtype", type=str, default=None, choices=["int8"],
+                   help="weight-only int8 for the generator's linears "
+                        "(RAR/taming/chameleon): per-output-channel absmax, "
+                        "weights stream from HBM as int8; activations stay "
+                        "bf16. Not token-exact")
 
     p.add_argument("--num_samples_per_conditioning", type=int, default=1)
     p.add_argument("--conditioning", type=str, default="0",
@@ -236,6 +241,22 @@ def main(argv=None):
     if args.cache_dtype:
         wrapper.cache_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
                                "int8": jnp.int8, "int4": "int4"}[args.cache_dtype]
+    if args.weight_dtype == "int8":
+        if hasattr(wrapper, "rar_params"):
+            from wmar_tpu.models.rar import quantize_rar_params_int8
+
+            wrapper.rar_params = quantize_rar_params_int8(
+                wrapper.rar_params, compute_dtype=jnp.bfloat16)
+        elif hasattr(wrapper, "gpt_params"):
+            from wmar_tpu.models.taming_gpt import quantize_gpt_params_int8
+
+            wrapper.gpt_params = quantize_gpt_params_int8(
+                wrapper.gpt_params, compute_dtype=jnp.bfloat16)
+        else:
+            from wmar_tpu.models.llama import quantize_llama_params_int8
+
+            wrapper.llama_params = quantize_llama_params_int8(
+                wrapper.llama_params, compute_dtype=jnp.bfloat16)
 
     if args.wm_method == "gentime":
         method = (

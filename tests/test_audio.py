@@ -173,6 +173,25 @@ def test_moshi_generation_watermarked_detects():
     assert float(pvalue_maryland(ng0, ns0, 0.25)) > 1e-3
 
 
+def test_moshi_int8_weights_generation_agreement():
+    """Weight-only int8 on the temporal backbone + text head: same-rng
+    generation stays in close agreement with the float model."""
+    from wmar_tpu.audio.lm import quantize_moshi_params_int8
+
+    params = init_moshi_params(jax.random.PRNGKey(0), TINY_MOSHI)
+    qparams = quantize_moshi_params_int8(params)
+
+    def run(p):
+        gen = MoshiGen(p, TINY_MOSHI, None)
+        text, audio = gen.generate(24, jax.random.PRNGKey(3), batch=2)
+        return np.asarray(text), np.asarray(audio)
+
+    t_ref, a_ref = run(params)
+    t_q, a_q = run(qparams)
+    assert (t_q == t_ref).mean() >= 0.7, (t_q == t_ref).mean()
+    assert (a_q == a_ref).mean() >= 0.7, (a_q == a_ref).mean()
+
+
 def test_moshi_prompt_teacher_forcing():
     """prompt_codes force the *generated* frames; the emitted stream is
     delay-aligned (LMGen's output gather), so stream k shows prompt frames

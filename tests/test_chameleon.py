@@ -146,6 +146,36 @@ def test_llama_tp_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(ref_logits), np.asarray(tp_logits), rtol=2e-3, atol=2e-3)
 
 
+def test_llama_int8_weights_tp_matches_replicated():
+    """Weight-only int8 params: (a) logits track the float model, (b) the
+    TP-sharded quantized tree (scales sharded with the output dim) matches
+    the replicated quantized forward exactly."""
+    from wmar_tpu.models.llama import quantize_llama_params_int8
+
+    params = init_llama_params(jax.random.PRNGKey(0), LCFG)
+    qparams = quantize_llama_params_int8(params)
+    tokens = jnp.array([[VOCAB.bos_id, 7, 8]], dtype=jnp.int32)
+    pos = jnp.arange(3)[None, :]
+
+    def fwd(p):
+        cache = KVCache.zeros(LCFG.n_layers, 1, LCFG.n_heads, 8, LCFG.head_dim)
+        return llama_forward(p, LCFG, tokens, cache, 0, pos)[0]
+
+    ref = np.asarray(fwd(params))
+    q_ref = np.asarray(fwd(qparams))
+    # int8 per-channel absmax: small logit drift, same argmax almost always
+    np.testing.assert_allclose(q_ref, ref, atol=0.08 * np.abs(ref).max())
+    assert (q_ref.argmax(-1) == ref.argmax(-1)).mean() >= 0.66
+
+    mesh = make_mesh(dp=4, tp=2)
+    with jax.set_mesh(mesh):
+        cache = KVCache.zeros(LCFG.n_layers, 1, LCFG.n_heads, 8, LCFG.head_dim)
+        sharded = apply_specs(mesh, qparams, llama_tp_specs(qparams))
+        f = jax.jit(lambda p, t: llama_forward(p, LCFG, t, cache, 0, pos)[0])
+        tp_logits = np.asarray(f(sharded, tokens))
+    np.testing.assert_allclose(tp_logits, q_ref, rtol=2e-3, atol=2e-3)
+
+
 def test_flash_decode_path_matches_xla(monkeypatch):
     """WMAR_FLASH_DECODE=1 routes single-token llama decode through the
     Pallas kernel (interpret mode off-TPU) with identical logits."""

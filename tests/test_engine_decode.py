@@ -275,3 +275,58 @@ class TestQuant4KVCache:
 
         agreement = (gen(jnp.float32) == gen("int4")).mean()
         assert agreement >= 0.7, agreement
+
+
+def test_rar_int8_weights_greedy_agreement():
+    """Weight-only int8 (quantize_rar_params_int8): greedy decode agrees
+    with float weights at tiny scale (opt-in serving lever)."""
+    from wmar_tpu.models import RARConfig, RARSampler, init_rar_params
+    from wmar_tpu.models.rar import quantize_rar_params_int8
+
+    cfg = RARConfig(embed_dim=64, depth=2, num_heads=2, intermediate_size=128,
+                    image_seq_len=16, codebook_size=64, num_classes=10)
+    params = init_rar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    cids = jnp.arange(2, dtype=jnp.int32)
+
+    def gen(p):
+        s = RARSampler(p, cfg, cids, guidance_scale=4.0, cache_dtype=jnp.float32)
+        _, cache = s.prefill()
+        prev = jnp.zeros((2,), jnp.int32)
+        toks = []
+        for t in range(16):
+            logits, cache = s.step_fn(cache, prev, jnp.int32(t))
+            prev = jnp.argmax(logits, -1).astype(jnp.int32)
+            toks.append(np.asarray(prev))
+        return np.stack(toks, 1)
+
+    agreement = (gen(params) == gen(quantize_rar_params_int8(params))).mean()
+    assert agreement >= 0.9, agreement
+
+
+def test_gpt_int8_weights_greedy_agreement():
+    """Weight-only int8 for taming minGPT: greedy decode agrees with float
+    weights at tiny scale (same serving lever as RAR)."""
+    from wmar_tpu.models import GPTConfig, init_gpt_params
+    from wmar_tpu.models.taming_gpt import (
+        make_step_fn,
+        prefill,
+        quantize_gpt_params_int8,
+    )
+
+    cfg = GPTConfig(vocab_size=64, block_size=64, n_layer=2, n_head=2, n_embd=32)
+    params = init_gpt_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    cond = jnp.array([[3], [5]], dtype=jnp.int32)
+
+    def gen(p):
+        logits, cache = prefill(p, cfg, cond, max_len=32)
+        step = make_step_fn(p, cfg, cond_len=1)
+        prev = jnp.argmax(logits, -1).astype(jnp.int32)
+        toks = [np.asarray(prev)]
+        for t in range(1, 16):
+            logits, cache = step(cache, prev, jnp.int32(t))
+            prev = jnp.argmax(logits, -1).astype(jnp.int32)
+            toks.append(np.asarray(prev))
+        return np.stack(toks, 1)
+
+    agreement = (gen(params) == gen(quantize_gpt_params_int8(params))).mean()
+    assert agreement >= 0.9, agreement

@@ -77,6 +77,33 @@ def test_generate_cli_tiny_rar_with_augs(tmp_path):
         assert 0.0 <= r["l0"] <= 1.0
 
 
+def test_generate_cli_tiny_rar_int8_weights(tmp_path):
+    """--weight_dtype int8 runs the full pipeline and originals still detect."""
+    import generate
+
+    records = generate.main([
+        "--outdir", str(tmp_path),
+        "--model", "rar",
+        "--tiny",
+        "--weight_dtype", "int8",
+        "--conditioning", "1",
+        "--num_samples_per_conditioning", "2",
+        "--batch_size", "2",
+        "--top_k", "0",
+        "--top_p", "1.0",
+        "--wm_method", "gentime",
+        "--wm_seed_strategy", "linear",
+        "--wm_split_strategy", "rand",
+        "--wm_context_size", "1",
+        "--wm_delta", "6.0",
+        "--wm_gamma", "0.25",
+        "--max_roundtrips", "1",
+        "--no_augs",
+    ])
+    orig = [r for r in records if r["transform"] == "roundtrips" and r["param"] == 0]
+    assert orig and all(r["pvalue"] < 1e-2 for r in orig), orig
+
+
 def test_chunking_covers_all_batches(tmp_path):
     """Two chunks together cover exactly the full record set once."""
     import generate

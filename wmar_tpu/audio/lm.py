@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from wmar_tpu.audio import wm as audio_wm
 from wmar_tpu.engine.kvcache import KVCache
 from wmar_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
+from wmar_tpu.ops import wquant
 
 
 def gating_hidden(dim: int, dim_feedforward: int) -> int:
@@ -172,6 +173,34 @@ def init_moshi_params(rng: jax.Array, cfg: MoshiConfig, dtype=jnp.float32):
     }
 
 
+def quantize_moshi_params_int8(params, compute_dtype=None):
+    """Weight-only int8 for the temporal backbone + text head.
+
+    The temporal transformer is where Moshi's weight bytes are (~7B at
+    ``MOSHI_V01`` — 14 GB bf16, 7 GB int8, i.e. the difference between
+    spilling and fitting one v5e next to the KV cache); the per-codebook
+    depformer is left in floating point (its stacked weights_per_step slices
+    are a small fraction of the stream and are latency- not
+    bandwidth-critical at depth 8). Same per-output-channel absmax scheme as
+    :mod:`wmar_tpu.ops.wquant`; drift is measured by the greedy-agreement
+    test, not assumed.
+    """
+    from wmar_tpu.models.llama import WEIGHT_KEYS
+
+    out = dict(params)
+    t = dict(params["temporal"])
+    t["blocks"] = [
+        {k: (wquant.quantize_matrix_int8(v) if k in WEIGHT_KEYS else v)
+         for k, v in blk.items()}
+        for blk in t["blocks"]
+    ]
+    out["temporal"] = t
+    out["text_head"] = wquant.quantize_matrix_int8(params["text_head"])
+    if compute_dtype is not None:
+        out = wquant.cast_float_leaves(out, compute_dtype)
+    return out
+
+
 def _temporal_step(params, cfg: MoshiConfig, x_emb, cache, pos):
     """One frame through the temporal backbone: embeddings are pre-summed, so
     we bypass token lookup by injecting x directly (tokens arg unused)."""
@@ -185,11 +214,12 @@ def _temporal_step(params, cfg: MoshiConfig, x_emb, cache, pos):
     x = x_emb[:, None, :]
     positions = jnp.full((b, 1), pos, jnp.int32)
     n_rep = 1
+    mm = wquant.matmul  # plain matrix or weight-only-int8 {"q","s"} dict
     for li, blk in enumerate(params["blocks"]):
         h = L._rms(x, blk["attention_norm"], tcfg.norm_eps)
-        q = (h @ blk["wq"]).reshape(b, 1, tcfg.n_heads, tcfg.head_dim)
-        k = (h @ blk["wk"]).reshape(b, 1, tcfg.kv_heads, tcfg.head_dim)
-        v = (h @ blk["wv"]).reshape(b, 1, tcfg.kv_heads, tcfg.head_dim)
+        q = mm(h, blk["wq"]).reshape(b, 1, tcfg.n_heads, tcfg.head_dim)
+        k = mm(h, blk["wk"]).reshape(b, 1, tcfg.kv_heads, tcfg.head_dim)
+        v = mm(h, blk["wv"]).reshape(b, 1, tcfg.kv_heads, tcfg.head_dim)
         q = L.apply_rope(q, positions, tcfg.rope_theta)
         k = L.apply_rope(k, positions, tcfg.rope_theta)
         q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
@@ -198,10 +228,10 @@ def _temporal_step(params, cfg: MoshiConfig, x_emb, cache, pos):
         from wmar_tpu.engine.attention import decode_attention
 
         attn = decode_attention(q, k_all, v_all, jnp.asarray(pos) + 1)
-        attn_out = attn.transpose(0, 2, 1, 3).reshape(b, 1, tcfg.dim) @ blk["wo"]
+        attn_out = mm(attn.transpose(0, 2, 1, 3).reshape(b, 1, tcfg.dim), blk["wo"])
         x = x + (blk["ls1"] * attn_out if "ls1" in blk else attn_out)
         h2 = L._rms(x, blk["ffn_norm"], tcfg.norm_eps)
-        ffn_out = (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+        ffn_out = mm(jax.nn.silu(mm(h2, blk["w1"])) * mm(h2, blk["w3"]), blk["w2"])
         x = x + (blk["ls2"] * ffn_out if "ls2" in blk else ffn_out)
     x = L._rms(x, params["norm"], tcfg.norm_eps)
     return x[:, 0], cache
@@ -371,7 +401,7 @@ class MoshiGen:
 
             # 4. text sampling (wm context = the last ngram *input* text
             # tokens in the ring, lm.py:562-564)
-            text_logits = h @ p["text_head"]
+            text_logits = wquant.matmul(h, p["text_head"])
             r = jax.random.fold_in(rng, t)
             ngram = self.wm.ngram if self.wm else 0
             if ngram > 0:

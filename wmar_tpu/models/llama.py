@@ -28,6 +28,7 @@ from jax.sharding import PartitionSpec as P
 
 from wmar_tpu.engine.attention import decode_attention
 from wmar_tpu.engine.kvcache import KVCache
+from wmar_tpu.ops import wquant
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,9 +184,10 @@ def llama_forward(
 
     for li, blk in enumerate(params["blocks"]):
         h = _rms(x, blk["attention_norm"], cfg.norm_eps)
-        q = (h @ blk["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = (h @ blk["wk"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
-        v = (h @ blk["wv"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        # wquant.matmul: plain matrix or weight-only-int8 {"q","s"} dict
+        q = wquant.matmul(h, blk["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = wquant.matmul(h, blk["wk"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        v = wquant.matmul(h, blk["wv"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
         if cfg.qk_normalization:
             q = _ln(q, blk["q_norm"], cfg.norm_eps)
             k = _ln(k, blk["k_norm"], cfg.norm_eps)
@@ -199,21 +201,61 @@ def llama_forward(
         attn = _cache_attention(q, cache, li, jnp.asarray(write_pos) + t,
                                 start, key_mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
-        attn_out = attn @ blk["wo"]
+        attn_out = wquant.matmul(attn, blk["wo"])
         x = x + (blk["ls1"] * attn_out if cfg.layer_scale else attn_out)
 
         h2 = _rms(x, blk["ffn_norm"], cfg.norm_eps)
-        ffn_out = (jax.nn.silu(h2 @ blk["w1"]) * (h2 @ blk["w3"])) @ blk["w2"]
+        ffn_out = wquant.matmul(
+            jax.nn.silu(wquant.matmul(h2, blk["w1"])) * wquant.matmul(h2, blk["w3"]),
+            blk["w2"])
         x = x + (blk["ls2"] * ffn_out if cfg.layer_scale else ffn_out)
 
     x = _rms(x, params["norm"], cfg.norm_eps)
-    logits = (x @ params["output"]).astype(jnp.float32)
+    logits = wquant.matmul(x, params["output"]).astype(jnp.float32)
     return logits, cache
+
+
+WEIGHT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w3", "w2")
+
+
+def quantize_llama_params_int8(params, compute_dtype=None):
+    """Weight-only int8 for every block linear + the vocab head.
+
+    7B Chameleon: bf16 weights are ~14 GB — larger than one v5e's HBM; int8
+    (~7 GB) fits a single chip with room for the KV cache, and under TP the
+    per-chip weight stream halves. ``tok_embeddings`` stays float (gather,
+    not matmul). Composes with :func:`llama_tp_specs` — quantized leaves get
+    megatron specs with the per-output-channel scale sharded alongside the
+    output dim.
+    """
+    out = dict(params)
+    out["blocks"] = [
+        {k: (wquant.quantize_matrix_int8(v) if k in WEIGHT_KEYS else v)
+         for k, v in blk.items()}
+        for blk in params["blocks"]
+    ]
+    out["output"] = wquant.quantize_matrix_int8(params["output"])
+    if compute_dtype is not None:
+        out["tok_embeddings"] = jnp.asarray(params["tok_embeddings"]).astype(compute_dtype)
+        out["norm"] = jnp.asarray(params["norm"]).astype(compute_dtype)
+        out["blocks"] = wquant.cast_float_leaves(out["blocks"], compute_dtype)
+    return out
 
 
 def llama_tp_specs(params: dict) -> dict:
     """Megatron sharding: column-parallel wq/wk/wv/w1/w3 + vocab output,
-    row-parallel wo/w2 — XLA inserts the reference's manual all-reduces."""
+    row-parallel wo/w2 — XLA inserts the reference's manual all-reduces.
+
+    Weight-only-int8 leaves (``{"q","s"}`` dicts) shard the same way: the
+    int8 matrix gets the matrix spec; the per-output-channel scale shards
+    with the output dim (column-parallel) or replicates (row-parallel,
+    where the output dim is unsharded)."""
+
+    def mat_spec(w, spec: P) -> object:
+        if isinstance(w, dict):  # weight-only int8
+            out_axis = spec[1]  # "tp" for column-parallel, None for row
+            return {"q": spec, "s": P(out_axis)}
+        return spec
 
     def block_spec(blk):
         spec = {
@@ -227,6 +269,8 @@ def llama_tp_specs(params: dict) -> dict:
             "w3": P(None, "tp"),
             "w2": P("tp", None),
         }
+        spec = {k: (mat_spec(blk[k], v) if k in WEIGHT_KEYS else v)
+                for k, v in spec.items()}
         if "q_norm" in blk:
             spec["q_norm"] = {"scale": P(), "bias": P()}
             spec["k_norm"] = {"scale": P(), "bias": P()}
@@ -239,5 +283,5 @@ def llama_tp_specs(params: dict) -> dict:
         "tok_embeddings": P("tp", None),
         "blocks": [block_spec(b) for b in params["blocks"]],
         "norm": P(),
-        "output": P(None, "tp"),
+        "output": mat_spec(params["output"], P(None, "tp")),
     }

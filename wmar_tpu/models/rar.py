@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from wmar_tpu.core.sampling import cfg_combine, rar_cfg_scale
 from wmar_tpu.engine.attention import decode_attention
 from wmar_tpu.engine.kvcache import KVCache
+from wmar_tpu.ops import wquant
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,7 +134,45 @@ def _ln(x, p, eps=1e-6):
 
 
 def _linear(x, p):
-    return x @ p["w"] + p["b"]
+    # Handles both {"w","b"} and weight-only int8 {"w_q","w_scale","b"}
+    # (per-output-channel absmax — see ops/wquant.py): the scale factors out
+    # of the contraction, so the dot runs on the int8->bf16 operand and the
+    # weights stream from HBM as int8, halving the ~0.9 GB/step weight
+    # traffic of RAR-XL decode.
+    return wquant.linear(x, p)
+
+
+def quantize_rar_params_int8(params, compute_dtype=None):
+    """Weight-only int8 for every decode-path linear.
+
+    Embeddings and norms stay floating point; when ``compute_dtype`` is given
+    they (and the biases) are cast to it so the activation stream keeps the
+    intended compute dtype — the embedding lookup seeds the dtype of every
+    downstream matmul, so serving configs should pass ``jnp.bfloat16``.
+    Opt-in lever: quality is measured (greedy agreement tests +
+    PERFORMANCE.md), not assumed."""
+    q = lambda p: wquant.quantize_linear_int8(p, compute_dtype)
+    out = dict(params)
+    out["blocks"] = [
+        {
+            **blk,
+            "adaln": q(blk["adaln"]),
+            "attn": {**blk["attn"],
+                     "qkv": q(blk["attn"]["qkv"]),
+                     "proj": q(blk["attn"]["proj"])},
+            "mlp": {"fc1": q(blk["mlp"]["fc1"]), "fc2": q(blk["mlp"]["fc2"])},
+        }
+        for blk in params["blocks"]
+    ]
+    out["final_adaln"] = q(params["final_adaln"])
+    out["lm_head"] = q(params["lm_head"])
+    if compute_dtype is not None:
+        for key in ("cls_token", "embeddings", "pos_embed",
+                    "target_aware_pos_embed", "timesteps_embeddings"):
+            out[key] = jnp.asarray(params[key]).astype(compute_dtype)
+        # norms inside blocks: cast scale/bias leaves (int8 leaves untouched)
+        out["blocks"] = wquant.cast_float_leaves(out["blocks"], compute_dtype)
+    return out
 
 
 def _modulate(x, shift, scale):

@@ -23,6 +23,7 @@ import numpy as np
 
 from wmar_tpu.engine.attention import decode_attention, prefill_attention
 from wmar_tpu.engine.kvcache import KVCache
+from wmar_tpu.ops import wquant
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,7 +92,36 @@ def _ln(x, p, eps=1e-5):
 
 
 def _linear(x, p):
-    return x @ p["w"] + p["b"]
+    # {"w","b"} or weight-only int8 {"w_q","w_scale","b"} (ops/wquant.py)
+    return wquant.linear(x, p)
+
+
+def quantize_gpt_params_int8(params, compute_dtype=None):
+    """Weight-only int8 for every decode-path linear + the untied head.
+
+    Same serving lever as :func:`wmar_tpu.models.rar.quantize_rar_params_int8`
+    — per-output-channel absmax, embeddings/norms stay float (cast to
+    ``compute_dtype`` when given, which seeds the activation dtype).
+    The published cin_transformer (48L x 1664d, 1.4B) reads ~2.8 GB of bf16
+    weights per decode step; int8 halves that.
+    """
+    q = lambda p: wquant.quantize_linear_int8(p, compute_dtype)
+    out = dict(params)
+    out["blocks"] = [
+        {
+            **blk,
+            "attn": {k: q(v) for k, v in blk["attn"].items()},
+            "mlp": {k: q(v) for k, v in blk["mlp"].items()},
+        }
+        for blk in params["blocks"]
+    ]
+    out["head"] = wquant.quantize_matrix_int8(params["head"])
+    if compute_dtype is not None:
+        for key in ("tok_emb", "pos_emb"):
+            out[key] = jnp.asarray(params[key]).astype(compute_dtype)
+        out["blocks"] = wquant.cast_float_leaves(out["blocks"], compute_dtype)
+        out["ln_f"] = wquant.cast_float_leaves(out["ln_f"], compute_dtype)
+    return out
 
 
 def _split_heads(x, n_head):
@@ -141,7 +171,7 @@ def gpt_forward(
         x = x + _linear(h2, blk["mlp"]["proj"])
 
     x = _ln(x, params["ln_f"])
-    logits = x @ params["head"]
+    logits = wquant.matmul(x, params["head"])
     return logits, cache
 
 
