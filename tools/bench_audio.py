@@ -48,6 +48,13 @@ def main():
                           delays=(0, 1, 1, 1, 1, 1, 1, 1))
     params = init_moshi_params(jax.random.PRNGKey(0), cfg,
                                dtype=jnp.float32 if tiny else jnp.bfloat16)
+    w8 = os.environ.get("BENCH_AUDIO_W8", "0") == "1"
+    if w8:
+        # weight-only int8 on the temporal backbone + text head (wquant)
+        from wmar_tpu.audio.lm import quantize_moshi_params_int8
+
+        params = quantize_moshi_params_int8(
+            params, compute_dtype=None if tiny else jnp.bfloat16)
     wm = WMConfig(method="maryland", streams=tuple(range(9)), ngram=1,
                   delta=4.0, gamma=0.25, seed=0)
     gen = MoshiGen(params, cfg, wm, cache_dtype=cache)
@@ -69,6 +76,7 @@ def main():
         "value": round(fps, 1),
         "realtime_x": round(fps / 12.5, 1),
         "cache": os.environ.get("BENCH_AUDIO_CACHE", "int8"),
+        "weights": "int8" if w8 else "bf16",
         "batch": batch, "frames": frames, "compile_s": round(compile_s, 1),
         "tiny": tiny,
     }))
