@@ -40,6 +40,10 @@ def main():
     p.add_argument("--cache_len", type=int, default=4096)
     p.add_argument("--tp", type=int, default=8)
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--weights", default=None, choices=["int8"],
+                   help="weight-only int8 (ops/wquant): proves the quantized "
+                        "7B tree — ~7 GB of weights, the single-v5e serving "
+                        "config — compiles and runs (TP or tp=1)")
     args = p.parse_args()
 
     from wmar_tpu.engine.kvcache import KVCache
@@ -62,6 +66,16 @@ def main():
     jax.block_until_ready(params)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"init: {n_params/1e9:.2f}B params in {time.time()-t0:.1f}s")
+
+    if args.weights == "int8":
+        from wmar_tpu.models.llama import quantize_llama_params_int8
+
+        t0 = time.time()
+        params = quantize_llama_params_int8(params, compute_dtype=dtype)
+        jax.block_until_ready(params)
+        nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+        print(f"weight-only int8: {nbytes/1e9:.2f} GB total param bytes "
+              f"in {time.time()-t0:.1f}s")
 
     with jax.set_mesh(mesh):
         t0 = time.time()
