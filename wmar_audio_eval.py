@@ -34,6 +34,10 @@ def get_parser():
     p.add_argument("--wm_delta", type=float, default=4.0)
     p.add_argument("--wm_gamma", type=float, default=0.25)
     p.add_argument("--wm_seed", type=int, default=0)
+    p.add_argument("--weight_dtype", type=str, default=None, choices=["int8"],
+                   help="weight-only int8 on the Moshi temporal backbone + "
+                        "text head (per-output-channel absmax; 7B MOSHI_V01: "
+                        "14 GB bf16 -> 7 GB, fits one v5e). Not token-exact")
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--top_k", type=int, default=250)
     p.add_argument("--seed", type=int, default=42)
@@ -213,6 +217,11 @@ def main(argv=None):
             delta=args.wm_delta, gamma=args.wm_gamma, seed=args.wm_seed,
             temp=args.temperature, top_k=args.top_k,
         )
+    if args.weight_dtype == "int8":
+        from wmar_tpu.audio.lm import quantize_moshi_params_int8
+
+        moshi_params = quantize_moshi_params_int8(
+            moshi_params, compute_dtype=None if args.tiny else jnp.bfloat16)
     gen = MoshiGen(moshi_params, moshi_cfg, wm)
     prompt_codes = None
     if args.use_prompts and args.audio_dir:
