@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import zlib
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -65,7 +66,7 @@ def main(argv=None):
     if args.sine:
         def tts(text: str) -> np.ndarray:
             n = args.sample_rate * 2
-            f0 = 200.0 + (hash(text) % 400)
+            f0 = 200.0 + (zlib.crc32(text.encode()) % 400)  # stable per text
             return 0.3 * np.sin(2 * np.pi * f0 / args.sample_rate * np.arange(n))
     else:
         try:  # pragma: no cover - host-dependent

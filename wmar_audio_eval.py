@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import zlib
 import os
 import sys
 
@@ -294,7 +295,11 @@ def main(argv=None):
 
     for name, fn, params in augs:
         for param in params:
-            attacked = fn(pcm, param, jax.random.fold_in(jax.random.PRNGKey(args.seed), hash(name) % 2**31))
+            # zlib.crc32, not builtin hash(): str hashing is salted per
+            # process (PYTHONHASHSEED), which would make the attack RNG —
+            # and therefore every stored p-value — irreproducible across runs
+            attacked = fn(pcm, param, jax.random.fold_in(
+                jax.random.PRNGKey(args.seed), zlib.crc32(name.encode()) % 2**31))
             sync_scores = [None] * args.batch_size
             if sync_pattern is not None:
                 # Detect the sync signal, and when it is ambiguous

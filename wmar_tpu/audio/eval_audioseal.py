@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import zlib
 import glob
 import os
 import sys
@@ -166,7 +167,9 @@ def main(argv=None):
 
         for name, fn, strengths in augs:
             for strength in strengths:
-                r = jax.random.fold_in(rng, hash((name, str(strength))) % 2**31)
+                # stable across processes (builtin hash() is PYTHONHASHSEED-salted)
+                r = jax.random.fold_in(
+                    rng, zlib.crc32(f"{name}/{strength}".encode()) % 2**31)
                 aug_wm = fn(wm, strength, r)
                 aug_orig = fn(orig, strength, r)
                 score_wm = np.asarray(model.detect(aug_wm).mean(axis=1))
