@@ -70,6 +70,10 @@ def get_parser():
 
     p.add_argument("--chunk_id", type=int, default=0)
     p.add_argument("--num_chunks", type=int, default=1)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard each batch over this many local devices "
+                        "(data-parallel mesh; 0 = all local devices). "
+                        "Token-identical to --dp 1; integer conditionings only")
 
     p.add_argument("--orig_only", type=str2bool, default=False)
     p.add_argument("--include_neural_compress", type=str2bool, default=False)
@@ -353,6 +357,14 @@ def main(argv=None):
         guidance_scale=args.guidance_scale,
         guidance_scale_pow=0.0,
     )
+    mesh = None
+    if args.dp == 0 or args.dp > 1:
+        from wmar_tpu.parallel import make_mesh
+
+        dp = len(jax.devices()) if args.dp == 0 else args.dp
+        mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
+        print(f"data-parallel generation over {dp} devices")
+
     eval_params = EvalParams(max_roundtrips=args.max_roundtrips, orig_only=args.orig_only)
     records = generate_and_evaluate(
         args.outdir,
@@ -367,6 +379,7 @@ def main(argv=None):
         num_chunks=args.num_chunks,
         apply_watermark=apply_wm,
         sync_manager=sync_manager,
+        mesh=mesh,
     )
     print(f"wrote {len(records)} records to {args.outdir}")
     return records

@@ -1,0 +1,53 @@
+"""generate.py --dp: data-parallel batch sharding from the CLI must be
+token- and metric-identical to the single-device run.
+
+The mesh mechanism itself is covered by tests/test_parallel.py; this locks
+the entry-point plumbing (padding to the dp size, trimming, records)."""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ARGV = [
+    "--tiny", "--model", "rar",
+    "--conditioning", "0,1,2",
+    "--num_samples_per_conditioning", "1",
+    "--batch_size", "3",  # not a multiple of dp: exercises the pad+trim path
+    "--wm_method", "gentime",
+    "--wm_delta", "4.0",
+    "--seed", "7",
+    "--no_augs",
+]
+
+
+def _collect(outdir):
+    recs = {}
+    for path in sorted(glob.glob(os.path.join(outdir, "c=*", "*.json"))):
+        rec = json.load(open(path))
+        recs[os.path.relpath(path, outdir)] = (rec["pvalue"], rec["l0"])
+    codes = {
+        os.path.relpath(p, outdir): np.load(p).ravel().tolist()
+        for p in sorted(glob.glob(os.path.join(outdir, "c=*", "*.npy")))
+    }
+    assert recs and codes
+    return recs, codes
+
+
+def test_dp_cli_matches_single_device(tmp_path):
+    import generate
+
+    generate.main(ARGV + ["--outdir", str(tmp_path / "dp1"), "--dp", "1"])
+    generate.main(ARGV + ["--outdir", str(tmp_path / "dp2"), "--dp", "2"])
+    recs1, codes1 = _collect(str(tmp_path / "dp1"))
+    recs2, codes2 = _collect(str(tmp_path / "dp2"))
+    assert codes1 == codes2
+    for rel, (p1, l1) in recs1.items():
+        p2, l2 = recs2[rel]
+        assert l1 == l2
+        assert np.isclose(p1, p2, rtol=1e-6)

@@ -183,10 +183,20 @@ def generate_and_evaluate(
     apply_watermark: bool = True,
     sync_manager=None,
     log_fn=print,
+    mesh=None,
 ) -> List[dict]:
     """The reference's ``generate()`` driver (``generate.py:168-232``):
     batch striping for chunk parallelism, per-chunk seed offsets, per-batch
-    sample -> log -> metrics -> save."""
+    sample -> log -> metrics -> save.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — each
+    batch's conditionings are sharded over it, so N chips generate (and
+    attack/detect) N slices of the batch concurrently. Token-identical to
+    the single-device run (``tests/test_parallel.py``); integer
+    conditionings only (Chameleon prompt batches stay chunk-parallel).
+    """
+    import contextlib
+
     batches = [
         all_conditionings[i : i + batch_size] for i in range(0, len(all_conditionings), batch_size)
     ]
@@ -204,21 +214,43 @@ def generate_and_evaluate(
             continue
         rng = jax.random.fold_in(base_rng, bi)
         t0 = time.time()
-        codes = wrapper.sample(list(batch), gen_params, apply_watermark=apply_watermark, rng=rng)
-        codes.block_until_ready()
-        log_fn(f"batch {bi}: sampling took {time.time() - t0:.2f}s")
-        log = fill_batch_log(
-            wrapper, codes, aug_manager, eval_params, jax.random.fold_in(rng, 999), sync_manager
-        )
-        records += compute_and_save_batch(
-            log,
-            outdir,
-            method,
-            list(batch),
-            cond_indices,
-            wrapper.watermark_spec,
-            wrapper.greenlist,
-            eval_params,
-            row_tags=getattr(aug_manager, "row_tags", None),
-        )
+        with jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext():
+            codes = _sample_maybe_sharded(
+                wrapper, batch, gen_params, apply_watermark, rng, mesh)
+            codes.block_until_ready()
+            log_fn(f"batch {bi}: sampling took {time.time() - t0:.2f}s")
+            log = fill_batch_log(
+                wrapper, codes, aug_manager, eval_params, jax.random.fold_in(rng, 999), sync_manager
+            )
+            records += compute_and_save_batch(
+                log,
+                outdir,
+                method,
+                list(batch),
+                cond_indices,
+                wrapper.watermark_spec,
+                wrapper.greenlist,
+                eval_params,
+                row_tags=getattr(aug_manager, "row_tags", None),
+            )
     return records
+
+
+def _sample_maybe_sharded(wrapper, batch, gen_params, apply_watermark, rng, mesh):
+    """Sample one batch, sharding the conditionings over the mesh's dp axis.
+
+    Rows are padded (by repeating the last conditioning) to a multiple of the
+    dp size so every device gets equal work, then trimmed — the sample scan
+    is row-independent, so padding changes nothing for the real rows."""
+    if mesh is None:
+        return wrapper.sample(list(batch), gen_params, apply_watermark=apply_watermark, rng=rng)
+    if not all(isinstance(c, (int, np.integer)) for c in batch):
+        raise ValueError("--dp sharding requires integer (class) conditionings")
+    from wmar_tpu.parallel import shard_batch
+
+    dp = mesh.shape["dp"]
+    n = len(batch)
+    ids = list(batch) + [batch[-1]] * ((-n) % dp)
+    sharded = shard_batch(mesh, jnp.asarray(ids, jnp.int32))
+    codes = wrapper.sample(sharded, gen_params, apply_watermark=apply_watermark, rng=rng)
+    return codes[:n]
