@@ -74,6 +74,10 @@ def get_parser():
                    help="shard each batch over this many local devices "
                         "(data-parallel mesh; 0 = all local devices). "
                         "Token-identical to --dp 1; integer conditionings only")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel devices (chameleon7b: megatron-style "
+                        "qkv/FFN/vocab sharding via llama_tp_specs; composes "
+                        "with --dp). Logit-identical to --tp 1")
 
     p.add_argument("--orig_only", type=str2bool, default=False)
     p.add_argument("--include_neural_compress", type=str2bool, default=False)
@@ -125,6 +129,24 @@ def load_wrapper(args):
     from wmar_tpu.utils import checkpoint as ckpt
 
     if args.tiny:
+        if args.model == "chameleon7b":
+            from wmar_tpu.models import ChameleonARMM, ChameleonVocab, LlamaConfig
+            from wmar_tpu.models.llama import init_llama_params
+
+            vocab = ChameleonVocab.synthetic(n_codes=16, n_text=20)
+            lcfg = LlamaConfig(dim=32, n_layers=2, n_heads=4,
+                               vocab_size=vocab.vocab_size, multiple_of=16,
+                               qk_normalization=True)
+            vq_cfg = VQGANConfig(resolution=8, ch=32, ch_mult=(1, 2),
+                                 num_res_blocks=1, attn_resolutions=(),
+                                 z_channels=32, n_embed=16, embed_dim=8)
+            vq = TamingVQGAN(vq_cfg)
+            vq_params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+            params = init_llama_params(jax.random.PRNGKey(1), lcfg)
+            tok = lambda text: [6 + (ord(c) % 20) for c in text[:5]]  # noqa: E731
+            return ChameleonARMM(params, lcfg, vocab, vq_params, vq_cfg,
+                                 tokenizer=tok, image_seq_len=16,
+                                 cache_dtype=jnp.float32)
         if args.model == "rar":
             rar_cfg = RARConfig(embed_dim=64, depth=2, num_heads=2, intermediate_size=128,
                                 image_seq_len=16, codebook_size=64, num_classes=10)
@@ -358,12 +380,20 @@ def main(argv=None):
         guidance_scale_pow=0.0,
     )
     mesh = None
-    if args.dp == 0 or args.dp > 1:
+    if args.dp == 0 or args.dp > 1 or args.tp > 1:
         from wmar_tpu.parallel import make_mesh
 
-        dp = len(jax.devices()) if args.dp == 0 else args.dp
-        mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
-        print(f"data-parallel generation over {dp} devices")
+        dp = (len(jax.devices()) // args.tp) if args.dp == 0 else args.dp
+        mesh = make_mesh(dp=dp, tp=args.tp, devices=jax.devices()[: dp * args.tp])
+        print(f"sharded generation: dp={dp} tp={args.tp}")
+        if args.tp > 1:
+            if not hasattr(wrapper, "llama_params"):
+                raise SystemExit("--tp > 1 is the chameleon7b TP path")
+            from wmar_tpu.models.llama import llama_tp_specs
+            from wmar_tpu.parallel import apply_specs
+
+            wrapper.llama_params = apply_specs(
+                mesh, wrapper.llama_params, llama_tp_specs(wrapper.llama_params))
 
     eval_params = EvalParams(max_roundtrips=args.max_roundtrips, orig_only=args.orig_only)
     records = generate_and_evaluate(

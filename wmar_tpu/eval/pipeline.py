@@ -242,7 +242,8 @@ def _sample_maybe_sharded(wrapper, batch, gen_params, apply_watermark, rng, mesh
     Rows are padded (by repeating the last conditioning) to a multiple of the
     dp size so every device gets equal work, then trimmed — the sample scan
     is row-independent, so padding changes nothing for the real rows."""
-    if mesh is None:
+    if mesh is None or mesh.shape.get("dp", 1) == 1:
+        # tp-only mesh: params are sharded; inputs stay replicated
         return wrapper.sample(list(batch), gen_params, apply_watermark=apply_watermark, rng=rng)
     if not all(isinstance(c, (int, np.integer)) for c in batch):
         raise ValueError("--dp sharding requires integer (class) conditionings")
