@@ -35,6 +35,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_IMGS_PER_SEC = 5000.0 / 3600.0
 
 
+def _bind_backend(timeout_s: float = 600.0):
+    """jax.devices() with a watchdog: the tunneled backend can go
+    unresponsive (observed mid-round-3: even device binding hangs forever),
+    and a hung bench is worse than a loud rc!=0."""
+    import sys
+    import threading
+
+    out = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        sys.exit(f"bench: backend did not bind within {timeout_s:.0f}s "
+                 "(tunneled TPU unresponsive)")
+    return out[0]
+
+
 def main():
     from wmar_tpu.core import WatermarkSpec
     from wmar_tpu.core.spec import SeedStrategy, SplitStrategy
@@ -48,7 +65,7 @@ def main():
         rar_config,
     )
 
-    tiny = os.environ.get("BENCH_TINY", "0") == "1" or jax.devices()[0].platform == "cpu"
+    tiny = os.environ.get("BENCH_TINY", "0") == "1" or _bind_backend()[0].platform == "cpu"
     batch = int(os.environ.get("BENCH_BATCH", "4" if tiny else "64"))
     iters = int(os.environ.get("BENCH_ITERS", "1" if tiny else "3"))
 
