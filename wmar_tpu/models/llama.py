@@ -170,13 +170,17 @@ def llama_forward(
     positions: jnp.ndarray,
     start: Optional[jnp.ndarray] = None,
     key_mask: Optional[jnp.ndarray] = None,
+    attn_fn=None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Forward ``tokens [B, t]`` written into the cache at ``write_pos``.
 
     ``positions [B, t]``: rope positions (prompt-relative, pads excluded).
     ``start [B]``: first valid cache index per row (left-pad masking).
     ``key_mask [B, T_max]``: optional per-position validity (CFG rows over a
-    shared token history). Returns ``(logits [B, t, vocab] fp32, cache)``.
+    shared token history). ``attn_fn``: optional attention override called as
+    ``attn_fn(q, k, v, li)`` with the *fresh* (pre-cache) per-layer k/v —
+    used by :func:`llama_prefill_sp` for ring-attention sequence-parallel
+    prefill. Returns ``(logits [B, t, vocab] fp32, cache)``.
     """
     b, t = tokens.shape
     x = params["tok_embeddings"][tokens]
@@ -198,8 +202,11 @@ def llama_forward(
             v = jnp.repeat(v, n_rep, axis=2)
         q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
         cache = cache.write(li, write_pos, k, v)
-        attn = _cache_attention(q, cache, li, jnp.asarray(write_pos) + t,
-                                start, key_mask)
+        if attn_fn is not None:
+            attn = attn_fn(q, k, v, li)
+        else:
+            attn = _cache_attention(q, cache, li, jnp.asarray(write_pos) + t,
+                                    start, key_mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
         attn_out = wquant.matmul(attn, blk["wo"])
         x = x + (blk["ls1"] * attn_out if cfg.layer_scale else attn_out)
@@ -213,6 +220,48 @@ def llama_forward(
     x = _rms(x, params["norm"], cfg.norm_eps)
     logits = wquant.matmul(x, params["output"]).astype(jnp.float32)
     return logits, cache
+
+
+def llama_prefill_sp(
+    params,
+    cfg: LlamaConfig,
+    tokens: jnp.ndarray,
+    cache: KVCache,
+    positions: jnp.ndarray,
+    mesh,
+    *,
+    sp_axis: str = "sp",
+    tp_axis: Optional[str] = None,
+    dp_axis: Optional[str] = None,
+    start: Optional[jnp.ndarray] = None,
+    key_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Sequence-parallel prefill: ``llama_forward`` at ``write_pos=0`` with
+    ring attention over the ``sp`` mesh axis.
+
+    Shard ``tokens``/``positions`` as ``P(dp, sp)`` in the calling jit; the
+    position-wise linears then run sequence-sharded for free (they never mix
+    positions), attention rotates KV blocks around the sp ring, and the one
+    all-gather per layer happens at the cache write — where it is needed
+    anyway for the later single-token decode. ``T % mesh.shape[sp_axis]``
+    must be 0 (pad the prompt; mask pads via ``key_mask``/``start``).
+
+    The reference has no counterpart: its prefill runs fully replicated on
+    every worker (``deps/chameleon/inference/generation.py``).
+    """
+    from wmar_tpu.parallel.ring import ring_prefill_attention
+
+    t = tokens.shape[1]
+    km = key_mask[:, :t] if key_mask is not None else None
+
+    def attn_fn(q, k, v, li):
+        return ring_prefill_attention(
+            q, k, v, mesh, sp_axis=sp_axis, tp_axis=tp_axis, dp_axis=dp_axis,
+            start=start, key_mask=km,
+        )
+
+    return llama_forward(params, cfg, tokens, cache, 0, positions,
+                         start=start, key_mask=key_mask, attn_fn=attn_fn)
 
 
 WEIGHT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w3", "w2")

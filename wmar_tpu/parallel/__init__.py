@@ -1,6 +1,7 @@
 """Device-mesh parallelism (dp/tp) over ICI — the SPMD replacement for the
 reference's DDP + NCCL tensor-parallel worker pool."""
 
+from wmar_tpu.parallel.ring import ring_prefill_attention
 from wmar_tpu.parallel.mesh import (
     apply_specs,
     batch_sharding,
@@ -24,5 +25,6 @@ __all__ = [
     "make_mesh",
     "replicate",
     "replicated",
+    "ring_prefill_attention",
     "shard_batch",
 ]

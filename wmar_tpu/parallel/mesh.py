@@ -21,15 +21,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh over the available devices."""
+def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, tp[, sp]) mesh over the available devices.
+
+    ``sp`` is the sequence-parallel axis for ring-attention prefill
+    (:mod:`wmar_tpu.parallel.ring`); it is only added to the mesh when >1 so
+    existing (dp, tp) callers see an unchanged two-axis mesh.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"dp({dp}) * tp({tp}) * sp({sp}) != devices({n})"
+    if sp == 1:
+        arr = np.asarray(devices).reshape(dp, tp)
+        return Mesh(arr, axis_names=("dp", "tp"))
+    arr = np.asarray(devices).reshape(dp, tp, sp)
+    return Mesh(arr, axis_names=("dp", "tp", "sp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
