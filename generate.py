@@ -78,6 +78,11 @@ def get_parser():
                    help="tensor-parallel devices (chameleon7b: megatron-style "
                         "qkv/FFN/vocab sharding via llama_tp_specs; composes "
                         "with --dp). Logit-identical to --tp 1")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel devices for the prompt prefill "
+                        "(chameleon7b: ring attention over an sp mesh axis, "
+                        "parallel/ring.py; composes with --dp/--tp). "
+                        "Token-identical to --sp 1")
 
     p.add_argument("--orig_only", type=str2bool, default=False)
     p.add_argument("--include_neural_compress", type=str2bool, default=False)
@@ -380,12 +385,17 @@ def main(argv=None):
         guidance_scale_pow=0.0,
     )
     mesh = None
-    if args.dp == 0 or args.dp > 1 or args.tp > 1:
+    if args.dp == 0 or args.dp > 1 or args.tp > 1 or args.sp > 1:
         from wmar_tpu.parallel import make_mesh
 
-        dp = (len(jax.devices()) // args.tp) if args.dp == 0 else args.dp
-        mesh = make_mesh(dp=dp, tp=args.tp, devices=jax.devices()[: dp * args.tp])
-        print(f"sharded generation: dp={dp} tp={args.tp}")
+        dp = (len(jax.devices()) // (args.tp * args.sp)) if args.dp == 0 else args.dp
+        mesh = make_mesh(dp=dp, tp=args.tp, sp=args.sp,
+                         devices=jax.devices()[: dp * args.tp * args.sp])
+        print(f"sharded generation: dp={dp} tp={args.tp} sp={args.sp}")
+        if args.sp > 1:
+            if not hasattr(wrapper, "llama_params"):
+                raise SystemExit("--sp > 1 is the chameleon7b ring-prefill path")
+            wrapper.sp_mesh = mesh
         if args.tp > 1:
             if not hasattr(wrapper, "llama_params"):
                 raise SystemExit("--tp > 1 is the chameleon7b TP path")

@@ -259,6 +259,27 @@ def test_fused_matches_reprefill_greedy():
     assert saw_image, "no greedy run emitted an image segment in 8 seeds"
 
 
+def test_fused_interleaved_sp_prefill_matches(wrapper):
+    """Ring-attention sequence-parallel prompt prefill (sp_mesh) is
+    token-identical to the replicated prefill under greedy decoding — the
+    prompt is right-padded to the ring size and pad slots stay key-masked."""
+    from wmar_tpu.models.chameleon_interleaved import sample_interleaved_fused
+    from wmar_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    opts = TextGenOptions(max_gen_len=8, greedy=True)
+    gen = GenParams(greedy=True)
+    ref = sample_interleaved_fused(wrapper, "a cat", gen, text_opts=opts,
+                                   max_images=1, rng=jax.random.PRNGKey(0))
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    out = sample_interleaved_fused(wrapper, "a cat", gen, text_opts=opts,
+                                   max_images=1, rng=jax.random.PRNGKey(0),
+                                   sp_mesh=mesh)
+    assert [(k, np.asarray(t).tolist()) for k, t in ref] == \
+        [(k, np.asarray(t).tolist()) for k, t in out]
+
+
 def test_fused_interleaved_int8_cache():
     """The one-scan interleaved path runs on the int8 quantized KV cache
     (serving config): valid segment structure end to end."""

@@ -155,6 +155,7 @@ class ChameleonT2ISampler:
         cfg_opts: ImageCFGOptions,
         image_seq_len: int = 1024,
         cache_dtype=jnp.bfloat16,
+        sp_mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -164,6 +165,7 @@ class ChameleonT2ISampler:
         self.opts = cfg_opts
         self.image_seq_len = image_seq_len
         self.cache_dtype = cache_dtype
+        self.sp_mesh = sp_mesh  # ring-attention sequence-parallel prefill
         self.prompt_len = prompts.shape[1]
         self.b = prompts.shape[0] // 3
 
@@ -184,9 +186,19 @@ class ChameleonT2ISampler:
             self.cfg.head_dim, self.cache_dtype,
         )
         positions = jnp.maximum(jnp.arange(self.prompt_len)[None, :] - self.start[:, None], 0)
-        logits, cache = llama_forward(
-            self.params, self.cfg, self.prompts, cache, 0, positions, start=self.start
-        )
+        if self.sp_mesh is not None:
+            # sequence-parallel ring prefill; the caller left-pads prompts to
+            # a multiple of the ring size (start absorbs the shift)
+            from wmar_tpu.models.llama import llama_prefill_sp
+
+            logits, cache = llama_prefill_sp(
+                self.params, self.cfg, self.prompts, cache, positions,
+                self.sp_mesh, tp_axis="tp", start=self.start,
+            )
+        else:
+            logits, cache = llama_forward(
+                self.params, self.cfg, self.prompts, cache, 0, positions, start=self.start
+            )
         return self._combine_and_mask(logits[:, -1]), cache
 
     def step_fn(self, cache: KVCache, prev: jnp.ndarray, step):
@@ -220,6 +232,7 @@ class ChameleonARMM(ARMMWrapper):
         image_seq_len: int = 1024,
         cfg_opts: Optional[ImageCFGOptions] = None,
         cache_dtype=jnp.bfloat16,
+        sp_mesh=None,
     ):
         super().__init__()
         self.llama_params = llama_params
@@ -236,6 +249,10 @@ class ChameleonARMM(ARMMWrapper):
         self.image_size = vq_cfg.resolution
         self.cfg_opts = cfg_opts or ImageCFGOptions()
         self.cache_dtype = cache_dtype
+        # Optional mesh with an "sp" axis: prompt prefill runs ring-attention
+        # sequence-parallel (parallel/ring.py); prompts are left-padded to the
+        # ring size in sample() and the per-row start offsets absorb the shift.
+        self.sp_mesh = sp_mesh
 
     def get_vq(self) -> VQInfo:
         # Alive ids live in BPE space for Chameleon (assets/chameleon_all_ids.txt).
@@ -272,6 +289,7 @@ class ChameleonARMM(ARMMWrapper):
             sampler = ChameleonT2ISampler(
                 llama_params, self.llama_cfg, self.vocab, prompts, start,
                 self.cfg_opts, self.image_seq_len, self.cache_dtype,
+                sp_mesh=self.sp_mesh,
             )
             init_logits, cache = sampler.prefill()
             init_logits = sampler.allow_only_mask(init_logits)
@@ -307,9 +325,17 @@ class ChameleonARMM(ARMMWrapper):
     def sample(self, conditioning, gen_params: GenParams, apply_watermark=False, rng=None):
         prompt_ids = self.tokenize_prompts(conditioning)
         prompts, start, _ = build_cfg_prompts(self.vocab, prompt_ids)
+        if self.sp_mesh is not None:
+            n_sp = self.sp_mesh.shape["sp"]
+            d = (-prompts.shape[1]) % n_sp
+            if d:
+                prompts = np.pad(prompts, ((0, 0), (d, 0)),
+                                 constant_values=self.vocab.pad_id)
+                start = np.asarray(start) + d
         rng = jax.random.PRNGKey(0) if rng is None else rng
         fn = self._cached_jit(
-            ("sample", gen_params, apply_watermark, prompts.shape),
+            ("sample", gen_params, apply_watermark, prompts.shape,
+             self.sp_mesh.shape["sp"] if self.sp_mesh is not None else 0),
             lambda: self._build_sample(gen_params, apply_watermark, prompts.shape),
         )
         return fn(self.llama_params, jnp.asarray(prompts), jnp.asarray(start), rng)

@@ -188,12 +188,19 @@ def sample_interleaved_fused(
     rng: Optional[jax.Array] = None,
     max_new_tokens: Optional[int] = None,
     cache_budget: Optional[int] = None,
+    sp_mesh=None,
 ):
     """Interleaved generation as ONE jitted scan — no re-prefill at modal
     switches (ROADMAP #7 / VERDICT r1 #8).
 
     ``cache_budget`` sizes the KV cache beyond the generation budget (e.g.
     the reference's 4096-token context) to exercise real cache geometry.
+
+    ``sp_mesh``: optional mesh with an ``sp`` axis — the prompt prefill then
+    runs sequence-parallel with ring attention (:mod:`wmar_tpu.parallel.ring`),
+    right-padding the prompt to a multiple of the ring size. Pad slots stay
+    key-masked off and are progressively overwritten by decode writes at
+    ``lp+step``, so generation is unchanged.
 
     All three instruct-CFG rows share a single KV cache over one global
     token history; per-row *key masks* reproduce each row's context
@@ -258,10 +265,23 @@ def sample_interleaved_fused(
             jnp.cumsum(prow1.astype(jnp.int32)) - 1,
             jnp.cumsum(prow2.astype(jnp.int32)) - 1,
         ]).clip(0)  # invalid slots are key-masked; their rope angle is moot
-        logits, cache = llama_forward(
-            llama_params, cfg, toks3, cache, 0, positions, key_mask=key_mask0
-        )
-        last = logits[:, -1]
+        if sp_mesh is not None:
+            from wmar_tpu.models.llama import llama_prefill_sp
+
+            n_sp = sp_mesh.shape["sp"]
+            lp_pad = -(-lp // n_sp) * n_sp
+            logits, cache = llama_prefill_sp(
+                llama_params, cfg,
+                jnp.pad(toks3, ((0, 0), (0, lp_pad - lp))), cache,
+                jnp.pad(positions, ((0, 0), (0, lp_pad - lp))), sp_mesh,
+                tp_axis="tp", key_mask=key_mask0,
+            )
+            last = logits[:, lp - 1]
+        else:
+            logits, cache = llama_forward(
+                llama_params, cfg, toks3, cache, 0, positions, key_mask=key_mask0
+            )
+            last = logits[:, -1]
 
         def process(last3, mode, counts, img_buf, img_count, images_done, step):
             # text path (row 0 only)
@@ -378,7 +398,8 @@ def sample_interleaved_fused(
 
     fn = wrapper._cached_jit(
         ("interleaved_fused", lp, max_images, apply_watermark,
-         text_opts.max_gen_len, budget),
+         text_opts.max_gen_len, budget,
+         sp_mesh.shape["sp"] if sp_mesh is not None else 0),
         lambda: jax.jit(run),
     )
     out = np.asarray(fn(wrapper.llama_params, jnp.asarray(prompt_ids), rng))
