@@ -184,42 +184,59 @@ def llama_forward(
     """
     b, t = tokens.shape
     x = params["tok_embeddings"][tokens]
-    n_rep = cfg.n_heads // cfg.kv_heads
 
     for li, blk in enumerate(params["blocks"]):
-        h = _rms(x, blk["attention_norm"], cfg.norm_eps)
-        # wquant.matmul: plain matrix or weight-only-int8 {"q","s"} dict
-        q = wquant.matmul(h, blk["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = wquant.matmul(h, blk["wk"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
-        v = wquant.matmul(h, blk["wv"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
-        if cfg.qk_normalization:
-            q = _ln(q, blk["q_norm"], cfg.norm_eps)
-            k = _ln(k, blk["k_norm"], cfg.norm_eps)
-        q = apply_rope(q, positions, cfg.rope_theta)
-        k = apply_rope(k, positions, cfg.rope_theta)
-        if n_rep > 1:
-            k = jnp.repeat(k, n_rep, axis=2)
-            v = jnp.repeat(v, n_rep, axis=2)
-        q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
+        q, k, v = block_attn_inputs(blk, cfg, x, positions)
         cache = cache.write(li, write_pos, k, v)
         if attn_fn is not None:
             attn = attn_fn(q, k, v, li)
         else:
             attn = _cache_attention(q, cache, li, jnp.asarray(write_pos) + t,
                                     start, key_mask)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
-        attn_out = wquant.matmul(attn, blk["wo"])
-        x = x + (blk["ls1"] * attn_out if cfg.layer_scale else attn_out)
-
-        h2 = _rms(x, blk["ffn_norm"], cfg.norm_eps)
-        ffn_out = wquant.matmul(
-            jax.nn.silu(wquant.matmul(h2, blk["w1"])) * wquant.matmul(h2, blk["w3"]),
-            blk["w2"])
-        x = x + (blk["ls2"] * ffn_out if cfg.layer_scale else ffn_out)
+        x = block_finish(blk, cfg, x, attn)
 
     x = _rms(x, params["norm"], cfg.norm_eps)
     logits = wquant.matmul(x, params["output"]).astype(jnp.float32)
     return logits, cache
+
+
+def block_attn_inputs(blk, cfg: LlamaConfig, x: jnp.ndarray, positions: jnp.ndarray):
+    """Pre-attention half of one transformer block: norms, qkv projections,
+    rope, GQA head repeat. ``x [B, t, dim]`` -> ``q, k, v [B, H, t, D]``.
+    Shared by :func:`llama_forward` and the pipeline-parallel stage body
+    (:mod:`wmar_tpu.parallel.pipeline`) so the math cannot diverge."""
+    b, t = x.shape[:2]
+    n_rep = cfg.n_heads // cfg.kv_heads
+    h = _rms(x, blk["attention_norm"], cfg.norm_eps)
+    # wquant.matmul: plain matrix or weight-only-int8 {"q","s"} dict
+    q = wquant.matmul(h, blk["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
+    k = wquant.matmul(h, blk["wk"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    v = wquant.matmul(h, blk["wv"]).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    if cfg.qk_normalization:
+        q = _ln(q, blk["q_norm"], cfg.norm_eps)
+        k = _ln(k, blk["k_norm"], cfg.norm_eps)
+    q = apply_rope(q, positions, cfg.rope_theta)
+    k = apply_rope(k, positions, cfg.rope_theta)
+    if n_rep > 1:
+        k = jnp.repeat(k, n_rep, axis=2)
+        v = jnp.repeat(v, n_rep, axis=2)
+    q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
+    return q, k, v
+
+
+def block_finish(blk, cfg: LlamaConfig, x: jnp.ndarray, attn: jnp.ndarray) -> jnp.ndarray:
+    """Post-attention half of one block: output projection, residuals,
+    SwiGLU FFN, optional LayerScale. ``attn [B, H, t, D]`` -> new ``x``."""
+    b, t = x.shape[:2]
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
+    attn_out = wquant.matmul(attn, blk["wo"])
+    x = x + (blk["ls1"] * attn_out if cfg.layer_scale else attn_out)
+
+    h2 = _rms(x, blk["ffn_norm"], cfg.norm_eps)
+    ffn_out = wquant.matmul(
+        jax.nn.silu(wquant.matmul(h2, blk["w1"])) * wquant.matmul(h2, blk["w3"]),
+        blk["w2"])
+    return x + (blk["ls2"] * ffn_out if cfg.layer_scale else ffn_out)
 
 
 def llama_prefill_sp(

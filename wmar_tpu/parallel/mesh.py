@@ -21,23 +21,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp[, sp]) mesh over the available devices.
+def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1, pp: int = 1,
+              devices=None) -> Mesh:
+    """Build a (dp, tp[, sp][, pp]) mesh over the available devices.
 
     ``sp`` is the sequence-parallel axis for ring-attention prefill
-    (:mod:`wmar_tpu.parallel.ring`); it is only added to the mesh when >1 so
-    existing (dp, tp) callers see an unchanged two-axis mesh.
+    (:mod:`wmar_tpu.parallel.ring`); ``pp`` the pipeline-stage axis
+    (:mod:`wmar_tpu.parallel.pipeline`). Each extra axis is only added to
+    the mesh when >1 so existing (dp, tp) callers see an unchanged
+    two-axis mesh.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // (tp * sp)
-    assert dp * tp * sp == n, f"dp({dp}) * tp({tp}) * sp({sp}) != devices({n})"
-    if sp == 1:
-        arr = np.asarray(devices).reshape(dp, tp)
-        return Mesh(arr, axis_names=("dp", "tp"))
-    arr = np.asarray(devices).reshape(dp, tp, sp)
-    return Mesh(arr, axis_names=("dp", "tp", "sp"))
+        dp = n // (tp * sp * pp)
+    assert dp * tp * sp * pp == n, \
+        f"dp({dp}) * tp({tp}) * sp({sp}) * pp({pp}) != devices({n})"
+    shape = [dp, tp]
+    names = ["dp", "tp"]
+    if sp > 1:
+        shape.append(sp)
+        names.append("sp")
+    if pp > 1:
+        shape.append(pp)
+        names.append("pp")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names=tuple(names))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
