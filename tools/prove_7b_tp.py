@@ -39,6 +39,14 @@ def main():
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--cache_len", type=int, default=4096)
     p.add_argument("--tp", type=int, default=8)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel ring prefill over an sp mesh axis "
+                        "(parallel/ring.py); proves the dp*tp*sp composition "
+                        "at the full 7B geometry")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel prefill over a pp mesh axis "
+                        "(parallel/pipeline.py GPipe schedule); layers must "
+                        "divide by pp. Mutually exclusive with --sp")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--weights", default=None, choices=["int8"],
                    help="weight-only int8 (ops/wquant): proves the quantized "
@@ -47,8 +55,14 @@ def main():
     args = p.parse_args()
 
     from wmar_tpu.engine.kvcache import KVCache
-    from wmar_tpu.models.llama import CHAMELEON_7B, init_llama_params, llama_forward, llama_tp_specs
-    from wmar_tpu.parallel import apply_specs, make_mesh
+    from wmar_tpu.models.llama import (
+        CHAMELEON_7B,
+        init_llama_params,
+        llama_forward,
+        llama_prefill_sp,
+        llama_tp_specs,
+    )
+    from wmar_tpu.parallel import apply_specs, llama_prefill_pp, make_mesh
 
     import dataclasses
 
@@ -56,7 +70,9 @@ def main():
     dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
     n_dev = len(jax.devices())
     assert n_dev >= args.tp, f"need {args.tp} devices, have {n_dev}"
-    mesh = make_mesh(dp=n_dev // args.tp, tp=args.tp)
+    assert not (args.sp > 1 and args.pp > 1), "--sp and --pp are exclusive here"
+    mesh = make_mesh(dp=n_dev // (args.tp * args.sp * args.pp), tp=args.tp,
+                     sp=args.sp, pp=args.pp)
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), mesh {mesh}")
     print(f"config: {cfg.n_layers}L dim={cfg.dim} heads={cfg.n_heads} "
           f"vocab={cfg.vocab_size} ({args.dtype})")
@@ -89,10 +105,20 @@ def main():
         pos = jnp.arange(16)[None, :]
 
         t0 = time.time()
-        fwd = jax.jit(lambda p, t, c: llama_forward(p, cfg, t, c, 0, pos))
+        if args.pp > 1:
+            fwd = jax.jit(lambda p, t, c: llama_prefill_pp(
+                p, cfg, t, c, pos, mesh, microbatches=1))
+            label = f"pipeline prefill (pp={args.pp})"
+        elif args.sp > 1:
+            fwd = jax.jit(lambda p, t, c: llama_prefill_sp(
+                p, cfg, t, c, pos, mesh, tp_axis="tp", dp_axis="dp"))
+            label = f"ring prefill (sp={args.sp})"
+        else:
+            fwd = jax.jit(lambda p, t, c: llama_forward(p, cfg, t, c, 0, pos))
+            label = "prefill"
         logits, cache = fwd(params, tokens, cache)
         jax.block_until_ready(logits)
-        print(f"prefill(16) compile+run: {time.time()-t0:.1f}s, "
+        print(f"{label}(16) compile+run: {time.time()-t0:.1f}s, "
               f"logits {logits.shape}")
 
         step = jax.jit(
@@ -107,7 +133,7 @@ def main():
         dt = time.time() - t0
         print(f"decode x{args.steps} (incl. 1 compile): {dt:.1f}s")
         print(f"OK: full {cfg.n_layers}-layer 7B-geometry TP={args.tp} "
-              "program compiled and executed")
+              f"SP={args.sp} PP={args.pp} program compiled and executed")
 
 
 if __name__ == "__main__":
