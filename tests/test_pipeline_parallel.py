@@ -89,3 +89,21 @@ def test_pp_rejects_bad_geometry(setup):
     mesh = make_mesh(dp=1, tp=1, pp=8)  # 4 layers % 8 stages != 0
     with pytest.raises(ValueError, match="not divisible by pp"):
         llama_prefill_pp(params, CFG, tokens, cache0, positions, mesh)
+
+
+def test_pp_prefill_int8_weights(setup):
+    """The pp stage body runs wquant int8 matmuls: stacked {"q","s"} quant
+    dicts stream through the pipeline — the single-chip-7B serving config
+    composed with pp. Parity vs the dense int8 path."""
+    from wmar_tpu.models.llama import quantize_llama_params_int8
+
+    params, tokens, positions, cache0 = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    qparams = quantize_llama_params_int8(params)
+    ref_logits, _ = llama_forward(qparams, CFG, tokens, cache0, 0, positions)
+    mesh = make_mesh(dp=2, tp=1, pp=4)
+    logits, _ = llama_prefill_pp(qparams, CFG, tokens, cache0, positions,
+                                 mesh, microbatches=2)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-4, rtol=2e-4)

@@ -101,3 +101,25 @@ def test_llama_prefill_sp_matches_forward():
                                np.asarray(ref_cache.k)[cm], atol=1e-5)
     np.testing.assert_allclose(np.asarray(cache.v)[cm],
                                np.asarray(ref_cache.v)[cm], atol=1e-5)
+
+
+def test_llama_prefill_sp_int8_weights():
+    """Ring prefill with weight-only int8 params (the single-chip-7B serving
+    config composed with sp) matches the dense int8 path."""
+    from wmar_tpu.models.llama import quantize_llama_params_int8
+
+    cfg = LlamaConfig(dim=32, n_layers=2, n_heads=4, vocab_size=64,
+                      multiple_of=32, qk_normalization=True)
+    params = quantize_llama_params_int8(
+        init_llama_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(3)
+    b, t = 2, 16
+    tokens = jnp.asarray(rng.integers(0, 64, (b, t)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    cache0 = KVCache.zeros(cfg.n_layers, b, cfg.n_heads, t + 4, cfg.head_dim)
+    ref, _ = llama_forward(params, cfg, tokens, cache0, 0, positions)
+    mesh = make_mesh(dp=2, tp=1, sp=4)
+    out, _ = llama_prefill_sp(params, cfg, tokens, cache0, positions, mesh,
+                              tp_axis="tp", dp_axis="dp")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
