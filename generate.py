@@ -83,6 +83,10 @@ def get_parser():
                         "(chameleon7b: ring attention over an sp mesh axis, "
                         "parallel/ring.py; composes with --dp/--tp). "
                         "Token-identical to --sp 1")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel devices for the prompt prefill "
+                        "(chameleon7b: GPipe over a pp mesh axis, "
+                        "parallel/pipeline.py). Token-identical to --pp 1")
 
     p.add_argument("--orig_only", type=str2bool, default=False)
     p.add_argument("--include_neural_compress", type=str2bool, default=False)
@@ -385,17 +389,21 @@ def main(argv=None):
         guidance_scale_pow=0.0,
     )
     mesh = None
-    if args.dp == 0 or args.dp > 1 or args.tp > 1 or args.sp > 1:
+    if args.dp == 0 or args.dp > 1 or args.tp > 1 or args.sp > 1 or args.pp > 1:
         from wmar_tpu.parallel import make_mesh
 
-        dp = (len(jax.devices()) // (args.tp * args.sp)) if args.dp == 0 else args.dp
-        mesh = make_mesh(dp=dp, tp=args.tp, sp=args.sp,
-                         devices=jax.devices()[: dp * args.tp * args.sp])
-        print(f"sharded generation: dp={dp} tp={args.tp} sp={args.sp}")
-        if args.sp > 1:
+        n_par = args.tp * args.sp * args.pp
+        dp = (len(jax.devices()) // n_par) if args.dp == 0 else args.dp
+        mesh = make_mesh(dp=dp, tp=args.tp, sp=args.sp, pp=args.pp,
+                         devices=jax.devices()[: dp * n_par])
+        print(f"sharded generation: dp={dp} tp={args.tp} sp={args.sp} pp={args.pp}")
+        if args.sp > 1 or args.pp > 1:
             if not hasattr(wrapper, "llama_params"):
-                raise SystemExit("--sp > 1 is the chameleon7b ring-prefill path")
-            wrapper.sp_mesh = mesh
+                raise SystemExit("--sp/--pp > 1 is the chameleon7b prefill path")
+            if args.sp > 1:
+                wrapper.sp_mesh = mesh
+            if args.pp > 1:
+                wrapper.pp_mesh = mesh
         if args.tp > 1:
             if not hasattr(wrapper, "llama_params"):
                 raise SystemExit("--tp > 1 is the chameleon7b TP path")

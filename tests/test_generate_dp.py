@@ -106,3 +106,30 @@ def test_sp_cli_chameleon_matches_single_device(tmp_path):
         p2, l2 = recs2[rel]
         assert l1 == l2
         assert np.isclose(p1, p2, rtol=1e-6)
+
+
+def test_pp_cli_chameleon_matches_single_device(tmp_path):
+    """--pp 2 (GPipe prefill from the CLI) == replicated run on the tiny
+    chameleon t2i path (2 layers -> 2 stages; the 6 CFG rows stream through
+    the stage ring as microbatches)."""
+    import generate
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a red car\nthe sea\n")
+    argv = [
+        "--tiny", "--model", "chameleon7b",
+        "--conditioning", str(prompts),
+        "--num_samples_per_conditioning", "1",
+        "--batch_size", "2",
+        "--wm_method", "gentime", "--wm_delta", "4.0",
+        "--seed", "7", "--no_augs",
+    ]
+    generate.main(argv + ["--outdir", str(tmp_path / "pp1")])
+    generate.main(argv + ["--outdir", str(tmp_path / "pp2"), "--pp", "2"])
+    recs1, codes1 = _collect(str(tmp_path / "pp1"))
+    recs2, codes2 = _collect(str(tmp_path / "pp2"))
+    assert codes1 == codes2
+    for rel, (p1, l1) in recs1.items():
+        p2, l2 = recs2[rel]
+        assert l1 == l2
+        assert np.isclose(p1, p2, rtol=1e-6)

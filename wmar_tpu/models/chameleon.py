@@ -156,6 +156,7 @@ class ChameleonT2ISampler:
         image_seq_len: int = 1024,
         cache_dtype=jnp.bfloat16,
         sp_mesh=None,
+        pp_mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -166,6 +167,7 @@ class ChameleonT2ISampler:
         self.image_seq_len = image_seq_len
         self.cache_dtype = cache_dtype
         self.sp_mesh = sp_mesh  # ring-attention sequence-parallel prefill
+        self.pp_mesh = pp_mesh  # GPipe pipeline-parallel prefill
         self.prompt_len = prompts.shape[1]
         self.b = prompts.shape[0] // 3
 
@@ -186,7 +188,15 @@ class ChameleonT2ISampler:
             self.cfg.head_dim, self.cache_dtype,
         )
         positions = jnp.maximum(jnp.arange(self.prompt_len)[None, :] - self.start[:, None], 0)
-        if self.sp_mesh is not None:
+        if self.pp_mesh is not None:
+            # pipeline-parallel prefill: layers over the pp stage ring
+            from wmar_tpu.parallel.pipeline import llama_prefill_pp
+
+            logits, cache = llama_prefill_pp(
+                self.params, self.cfg, self.prompts, cache, positions,
+                self.pp_mesh, start=self.start,
+            )
+        elif self.sp_mesh is not None:
             # sequence-parallel ring prefill; the caller left-pads prompts to
             # a multiple of the ring size (start absorbs the shift)
             from wmar_tpu.models.llama import llama_prefill_sp
@@ -233,6 +243,7 @@ class ChameleonARMM(ARMMWrapper):
         cfg_opts: Optional[ImageCFGOptions] = None,
         cache_dtype=jnp.bfloat16,
         sp_mesh=None,
+        pp_mesh=None,
     ):
         super().__init__()
         self.llama_params = llama_params
@@ -253,6 +264,9 @@ class ChameleonARMM(ARMMWrapper):
         # sequence-parallel (parallel/ring.py); prompts are left-padded to the
         # ring size in sample() and the per-row start offsets absorb the shift.
         self.sp_mesh = sp_mesh
+        # Optional mesh with a "pp" axis: prompt prefill streams the CFG rows
+        # through the GPipe stage ring (parallel/pipeline.py).
+        self.pp_mesh = pp_mesh
 
     def get_vq(self) -> VQInfo:
         # Alive ids live in BPE space for Chameleon (assets/chameleon_all_ids.txt).
@@ -289,7 +303,7 @@ class ChameleonARMM(ARMMWrapper):
             sampler = ChameleonT2ISampler(
                 llama_params, self.llama_cfg, self.vocab, prompts, start,
                 self.cfg_opts, self.image_seq_len, self.cache_dtype,
-                sp_mesh=self.sp_mesh,
+                sp_mesh=self.sp_mesh, pp_mesh=self.pp_mesh,
             )
             init_logits, cache = sampler.prefill()
             init_logits = sampler.allow_only_mask(init_logits)
@@ -335,7 +349,8 @@ class ChameleonARMM(ARMMWrapper):
         rng = jax.random.PRNGKey(0) if rng is None else rng
         fn = self._cached_jit(
             ("sample", gen_params, apply_watermark, prompts.shape,
-             self.sp_mesh.shape["sp"] if self.sp_mesh is not None else 0),
+             self.sp_mesh.shape["sp"] if self.sp_mesh is not None else 0,
+             self.pp_mesh.shape["pp"] if self.pp_mesh is not None else 0),
             lambda: self._build_sample(gen_params, apply_watermark, prompts.shape),
         )
         return fn(self.llama_params, jnp.asarray(prompts), jnp.asarray(start), rng)

@@ -119,7 +119,11 @@ def llama_prefill_pp(
     if cfg.n_layers % n_stages != 0:
         raise ValueError(f"{cfg.n_layers} layers not divisible by pp={n_stages}")
     b, t = tokens.shape
-    m = microbatches or min(n_stages, b)
+    # default: the most microbatches (≤ stage count) that divide the batch —
+    # more microbatches = smaller pipeline bubble (pp-1)/(M+pp-1)
+    m = microbatches or max(
+        d for d in range(1, min(n_stages, b) + 1) if b % d == 0
+    )
     if b % m != 0:
         raise ValueError(f"batch {b} not divisible by microbatches={m}")
     mb = b // m
