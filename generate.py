@@ -48,10 +48,12 @@ def get_parser():
     p.add_argument("--decoder_ft_ckpt", type=str, default=None, help="RCC decoder delta (msgpack)")
     p.add_argument("--tiny", action="store_true", help="random tiny model (smoke test)")
     p.add_argument("--cache_dtype", type=str, default=None,
-                   choices=["bf16", "f32", "int8", "int4"],
+                   choices=["bf16", "f32", "int8", "int4", "packed"],
                    help="KV-cache dtype override; int8 halves decode-attention "
                         "HBM reads (~0.4%% quantization noise, not token-exact); "
-                        "int4 (nibble-packed) halves them again at ~7%% noise")
+                        "int4 (nibble-packed) halves them again at ~7%% noise; "
+                        "packed = int8 in the [T, H*D] layout driven by the "
+                        "batch-blocked Pallas decode kernel")
     p.add_argument("--weight_dtype", type=str, default=None, choices=["int8"],
                    help="weight-only int8 for the generator's linears "
                         "(RAR/taming/chameleon): per-output-channel absmax, "
@@ -275,7 +277,8 @@ def main(argv=None):
     wrapper = load_wrapper(args)
     if args.cache_dtype:
         wrapper.cache_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-                               "int8": jnp.int8, "int4": "int4"}[args.cache_dtype]
+                               "int8": jnp.int8, "int4": "int4",
+                               "packed": "packed"}[args.cache_dtype]
     if args.weight_dtype == "int8":
         if hasattr(wrapper, "rar_params"):
             from wmar_tpu.models.rar import quantize_rar_params_int8

@@ -1,0 +1,123 @@
+"""Packed-heads int8 KV cache + batch-blocked Pallas decode kernel.
+
+The packed cache stores the same per-(token, head) absmax quantization as
+QuantKVCache, only in the ``[L, B, T, H*D]`` layout the batch-blocked decode
+kernel wants; dequantized values must therefore match bit-for-bit, and the
+kernel (run in interpret mode here) must agree with the XLA decode-attention
+path to bf16-matmul tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wmar_tpu.engine.attention import cached_decode_attention, decode_attention
+from wmar_tpu.engine.kvcache import KVCache, PackedQuantKVCache, QuantKVCache
+from wmar_tpu.ops.flash_decode import packed_decode_attention_q8
+
+L, B, H, T, D = 2, 4, 4, 32, 16
+
+
+def _filled_caches(seed=0, writes=5):
+    """The same K/V stream written through both cache layouts."""
+    rng = np.random.default_rng(seed)
+    packed = PackedQuantKVCache.zeros(L, B, H, T, D)
+    ref = QuantKVCache.zeros(L, B, H, T, D)
+    for pos in range(writes):
+        for li in range(L):
+            k = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+            v = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+            packed = packed.write(li, pos, k, v)
+            ref = ref.write(li, pos, k, v)
+    return packed, ref
+
+
+def test_packed_layer_matches_quant_cache_bitwise():
+    packed, ref = _filled_caches()
+    for li in range(L):
+        kp, vp = packed.layer(li)
+        kr, vr = ref.layer(li)
+        np.testing.assert_array_equal(np.asarray(kp), np.asarray(kr))
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vr))
+
+
+def test_packed_multitoken_write_matches_single_token_writes():
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.standard_normal((B, H, 3, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, 3, D)), jnp.float32)
+    burst = PackedQuantKVCache.zeros(L, B, H, T, D).write(0, 2, k, v)
+    single = PackedQuantKVCache.zeros(L, B, H, T, D)
+    for i in range(3):
+        single = single.write(0, 2 + i, k[:, :, i : i + 1], v[:, :, i : i + 1])
+    np.testing.assert_array_equal(np.asarray(burst.k), np.asarray(single.k))
+    np.testing.assert_array_equal(np.asarray(burst.k_scale), np.asarray(single.k_scale))
+
+
+@pytest.mark.parametrize("rows_per_block", [1, 2, 4])
+def test_packed_kernel_matches_xla_decode(rows_per_block):
+    packed, _ = _filled_caches(seed=2, writes=7)
+    q = jnp.asarray(np.random.default_rng(3).standard_normal((B, H, 1, D)), jnp.float32)
+    want = decode_attention(q, *packed.layer(0), valid_len=7)
+    got = packed_decode_attention_q8(
+        q, *packed.packed_layer(0), 7, rows_per_block=rows_per_block, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=0)
+
+
+def test_packed_kernel_respects_valid_len():
+    """Slots past valid_len must not contribute even when they hold data."""
+    packed, _ = _filled_caches(seed=4, writes=9)
+    q = jnp.asarray(np.random.default_rng(5).standard_normal((B, H, 1, D)), jnp.float32)
+    short = packed_decode_attention_q8(q, *packed.packed_layer(1), 4, interpret=True)
+    want = decode_attention(q, *packed.layer(1), valid_len=4)
+    np.testing.assert_allclose(np.asarray(short), np.asarray(want), atol=2e-2, rtol=0)
+    full = packed_decode_attention_q8(q, *packed.packed_layer(1), 9, interpret=True)
+    assert not np.allclose(np.asarray(short), np.asarray(full), atol=1e-3)
+
+
+def test_cached_decode_attention_dispatch():
+    """The dispatcher routes packed caches to the kernel and everything else
+    to the XLA path, with identical results between the two cache layouts."""
+    packed, ref = _filled_caches(seed=6)
+    q = jnp.asarray(np.random.default_rng(7).standard_normal((B, H, 1, D)), jnp.float32)
+    out_packed = cached_decode_attention(q, packed, 0, 5)
+    out_ref = cached_decode_attention(q, ref, 0, 5)
+    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(out_ref), atol=2e-2, rtol=0)
+    # burst path (t=2) falls back to XLA and still works on the packed cache
+    q2 = jnp.asarray(np.random.default_rng(8).standard_normal((B, H, 2, D)), jnp.float32)
+    out2 = cached_decode_attention(q2, packed, 0, 5)
+    assert out2.shape == (B, H, 2, D)
+
+
+def test_kvcache_zeros_dispatches_packed():
+    c = KVCache.zeros(L, B, H, T, D, dtype="packed")
+    assert isinstance(c, PackedQuantKVCache)
+    assert c.max_len == T and c.n_heads == H and c.head_dim == D
+
+
+def test_rar_decode_packed_vs_int8_cache():
+    """End-to-end tiny RAR sampling: packed cache tokens == int8 cache tokens
+    under greedy decode (same quantized values, same argmax)."""
+    from wmar_tpu.models import GenParams, RARConfig, RarARMM, init_rar_params
+    from wmar_tpu.models.maskgit_vqgan import MaskGitVQConfig, MaskGitVQGAN
+
+    cfg = RARConfig(embed_dim=32, depth=2, num_heads=2, intermediate_size=64,
+                    image_seq_len=16, codebook_size=32, num_classes=4)
+    vq_cfg = MaskGitVQConfig(resolution=8, hidden_channels=32, channel_mult=(1, 2),
+                             num_res_blocks=1, z_channels=16, n_embed=32, embed_dim=16)
+    params = init_rar_params(jax.random.PRNGKey(0), cfg)
+    vq = MaskGitVQGAN(vq_cfg)
+    vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+    gen = GenParams(temperature=0.0, guidance_scale=4.0)
+    classes = np.array([0, 1, 2, 3])
+
+    outs = {}
+    for cd in (jnp.int8, "packed"):
+        wrapper = RarARMM(params, cfg, vq_params, vq_cfg, cache_dtype=cd)
+        outs[cd] = np.asarray(wrapper.sample(classes, gen, apply_watermark=False,
+                                             rng=jax.random.PRNGKey(2)))
+    # same quantized cache values; bf16 kernel matmuls vs f32 XLA may flip a
+    # near-tie argmax occasionally, so require near-total agreement
+    agree = (outs[jnp.int8] == outs["packed"]).mean()
+    assert agree > 0.95, f"greedy agreement {agree}"

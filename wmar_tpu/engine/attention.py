@@ -11,9 +11,37 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-1e30)
+
+
+def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mask=None):
+    """Decode attention against ``cache``, dispatching on the cache type.
+
+    ``PackedQuantKVCache`` single-token steps route to the batch-blocked
+    Pallas kernel (interpret mode off-TPU so tests cover the same code
+    path); everything else — float/int8/int4 caches, prefill bursts, ragged
+    ``start``/``key_mask`` rows — goes through the XLA path, whose
+    elementwise dequantization fuses into the attention dots.
+    """
+    from wmar_tpu.engine.kvcache import PackedQuantKVCache
+
+    if (
+        isinstance(cache, PackedQuantKVCache)
+        and q.shape[2] == 1
+        and start is None
+        and key_mask is None
+    ):
+        from wmar_tpu.ops.flash_decode import packed_decode_attention_q8
+
+        return packed_decode_attention_q8(
+            q, *cache.packed_layer(layer), valid_len,
+            interpret=jax.default_backend() != "tpu",
+        )
+    k_all, v_all = cache.layer(layer)
+    return decode_attention(q, k_all, v_all, valid_len, start=start, key_mask=key_mask)
 
 
 def prefill_attention(

@@ -33,6 +33,8 @@ class KVCache:
             return QuantKVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
         if dtype in ("int4", getattr(jnp, "int4", "int4")):
             return Quant4KVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
+        if dtype == "packed":
+            return PackedQuantKVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
         shape = (n_layers, batch, n_heads, max_len, head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
@@ -144,6 +146,106 @@ class QuantKVCache:
             v=jax.lax.dynamic_update_slice(self.v, prefix.v, zeros5),
             k_scale=jax.lax.dynamic_update_slice(self.k_scale, prefix.k_scale, zeros4),
             v_scale=jax.lax.dynamic_update_slice(self.v_scale, prefix.v_scale, zeros4),
+        )
+
+
+@flax.struct.dataclass
+class PackedQuantKVCache:
+    """int8 KV cache in the packed-heads layout ``[L, B, T, H*D]``.
+
+    Same quantization math as :class:`QuantKVCache` (per-(token, head)
+    absmax, so dequantized values are bit-identical), but the head axis is
+    folded into the minor dimension. That is the layout the batch-blocked
+    Pallas decode kernel (:func:`wmar_tpu.ops.flash_decode.packed_decode_attention_q8`)
+    wants: one ``[RB, T, H*D]`` tile per grid program = full-width contiguous
+    DMAs, versus the ``[B, H, T, D]`` layout whose per-(b, h) ``[T, D]``
+    slices are too narrow to saturate the DMA engines at image-model head
+    dims (D=64: half a lane tile).
+
+    Single-token writes are free in this layout: ``[B, H, 1, D] -> [B, 1, H*D]``
+    is a pure reshape. Multi-token writes (prefill bursts) pay one small
+    transpose.
+
+    k, v: int8 ``[L, B, T, H*D]``; k_scale, v_scale: bf16 ``[L, B, T, H]``.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: jnp.ndarray
+    v_scale: jnp.ndarray
+    head_dim: int = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int):
+        return cls(
+            k=jnp.zeros((n_layers, batch, max_len, n_heads * head_dim), jnp.int8),
+            v=jnp.zeros((n_layers, batch, max_len, n_heads * head_dim), jnp.int8),
+            k_scale=jnp.zeros((n_layers, batch, max_len, n_heads), jnp.bfloat16),
+            v_scale=jnp.zeros((n_layers, batch, max_len, n_heads), jnp.bfloat16),
+            head_dim=head_dim,
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def n_heads(self) -> int:
+        return self.k_scale.shape[-1]
+
+    def _pack(self, x: jnp.ndarray):
+        """[B, H, t, D] -> (int8 payload [B, t, H*D], bf16 scale [B, t, H])."""
+        q, scale = QuantKVCache._quantize(x)  # [B, H, t, D], [B, H, t]
+        b, h, t, d = q.shape
+        payload = q.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+        return payload, scale.transpose(0, 2, 1)
+
+    def write(self, layer: int, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "PackedQuantKVCache":
+        kq, ks = self._pack(k_new)
+        vq, vs = self._pack(v_new)
+        idx = (jnp.int32(layer), jnp.int32(0), jnp.asarray(pos, jnp.int32), jnp.int32(0))
+        return PackedQuantKVCache(
+            k=jax.lax.dynamic_update_slice(self.k, kq[None], idx),
+            v=jax.lax.dynamic_update_slice(self.v, vq[None], idx),
+            k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks[None], idx),
+            v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs[None], idx),
+            head_dim=self.head_dim,
+        )
+
+    def packed_layer(self, layer: int):
+        """Raw packed tensors for the Pallas kernel:
+        ``(k [B, T, H*D] int8, v, k_scale [B, T, H], v_scale)``."""
+        return self.k[layer], self.v[layer], self.k_scale[layer], self.v_scale[layer]
+
+    def layer(self, layer: int):
+        """Dequantized ``[B, H, T, D]`` bf16 K/V (XLA-path fallback: prefill
+        bursts and non-TPU backends). Values match :class:`QuantKVCache`
+        bit-for-bit; only the storage layout differs."""
+        b, t, hd = self.k.shape[1:]
+        h = self.n_heads
+        d = self.head_dim
+
+        def unpack(payload, scale):
+            x = payload.reshape(b, t, h, d).astype(jnp.bfloat16)
+            return (x * scale[..., None]).transpose(0, 2, 1, 3)
+
+        return unpack(self.k[layer], self.k_scale[layer]), unpack(self.v[layer], self.v_scale[layer])
+
+    def slice_to(self, t: int) -> "PackedQuantKVCache":
+        return PackedQuantKVCache(
+            k=self.k[:, :, :t], v=self.v[:, :, :t],
+            k_scale=self.k_scale[:, :, :t], v_scale=self.v_scale[:, :, :t],
+            head_dim=self.head_dim,
+        )
+
+    def merge_prefix(self, prefix: "PackedQuantKVCache") -> "PackedQuantKVCache":
+        zeros4 = (jnp.int32(0),) * 4
+        return PackedQuantKVCache(
+            k=jax.lax.dynamic_update_slice(self.k, prefix.k, zeros4),
+            v=jax.lax.dynamic_update_slice(self.v, prefix.v, zeros4),
+            k_scale=jax.lax.dynamic_update_slice(self.k_scale, prefix.k_scale, zeros4),
+            v_scale=jax.lax.dynamic_update_slice(self.v_scale, prefix.v_scale, zeros4),
+            head_dim=self.head_dim,
         )
 
 

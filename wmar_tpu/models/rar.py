@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from wmar_tpu.core.sampling import cfg_combine, rar_cfg_scale
-from wmar_tpu.engine.attention import decode_attention
+from wmar_tpu.engine.attention import cached_decode_attention
 from wmar_tpu.engine.kvcache import KVCache
 from wmar_tpu.ops import wquant
 
@@ -192,8 +192,7 @@ def _block(blk, cfg: RARConfig, x, c, cache: Optional[KVCache], layer: int, pos)
     k = _ln(k, blk["attn"]["k_norm"]).transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     cache = cache.write(layer, pos, k, v)
-    k_all, v_all = cache.layer(layer)
-    attn = decode_attention(q, k_all, v_all, jnp.asarray(pos) + t)
+    attn = cached_decode_attention(q, cache, layer, jnp.asarray(pos) + t)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
     x = x + g_msa * _linear(attn, blk["attn"]["proj"])
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wmar_tpu.engine.attention import decode_attention, prefill_attention
+from wmar_tpu.engine.attention import cached_decode_attention, prefill_attention
 from wmar_tpu.engine.kvcache import KVCache
 from wmar_tpu.ops import wquant
 
@@ -161,8 +161,7 @@ def gpt_forward(
         v = _split_heads(_linear(h, blk["attn"]["v"]), cfg.n_head)
         if cache is not None:
             cache = cache.write(li, start_pos, k, v)
-            k_all, v_all = cache.layer(li)
-            attn = decode_attention(q, k_all, v_all, jnp.asarray(start_pos) + t)
+            attn = cached_decode_attention(q, cache, li, jnp.asarray(start_pos) + t)
         else:
             attn = prefill_attention(q, k, v, causal=True)
         x = x + _linear(_merge_heads(attn), blk["attn"]["proj"])
