@@ -29,8 +29,12 @@ if not os.environ.get("WMAR_NO_JAX_CACHE"):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from wmar_tpu.engine.attention import decode_attention
-from wmar_tpu.engine.kvcache import KVCache
-from wmar_tpu.ops.flash_decode import flash_decode_attention, flash_decode_attention_q8
+from wmar_tpu.engine.kvcache import KVCache, PackedQuantKVCache
+from wmar_tpu.ops.flash_decode import (
+    flash_decode_attention,
+    flash_decode_attention_q8,
+    packed_decode_attention_q8,
+)
 
 STEPS = 64
 
@@ -79,6 +83,18 @@ def run_shape(tag, b, h, t, d):
             lambda qq: flash_decode_attention_q8(qq, ki, vi, ks, vs, n)), q)
     except Exception as e:  # noqa: BLE001
         print(f"  pallas-int8  FAILED: {type(e).__name__}: {str(e)[:120]}")
+    cp = PackedQuantKVCache.zeros(1, b, h, t, d)
+    cp = cp.write(0, 0, kf.astype(jnp.float32), vf.astype(jnp.float32))
+    kp, vp, kps, vps = cp.packed_layer(0)
+    for rb in (8, 4, 16):
+        if b % rb:
+            continue
+        try:
+            bench(f"packed-rb{rb}", loop(
+                lambda qq: packed_decode_attention_q8(
+                    qq, kp, vp, kps, vps, n, rows_per_block=rb)), q)
+        except Exception as e:  # noqa: BLE001
+            print(f"  packed-rb{rb}  FAILED: {type(e).__name__}: {str(e)[:120]}")
 
 
 def main():
