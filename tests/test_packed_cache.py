@@ -54,25 +54,30 @@ def test_packed_multitoken_write_matches_single_token_writes():
     np.testing.assert_array_equal(np.asarray(burst.k_scale), np.asarray(single.k_scale))
 
 
+def _kernel(q, packed, layer, valid_len, **kw):
+    return packed_decode_attention_q8(
+        q, packed.k, packed.v, packed.k_scale, packed.v_scale, layer, valid_len,
+        interpret=True, **kw)
+
+
 @pytest.mark.parametrize("rows_per_block", [1, 2, 4])
 def test_packed_kernel_matches_xla_decode(rows_per_block):
     packed, _ = _filled_caches(seed=2, writes=7)
     q = jnp.asarray(np.random.default_rng(3).standard_normal((B, H, 1, D)), jnp.float32)
     want = decode_attention(q, *packed.layer(0), valid_len=7)
-    got = packed_decode_attention_q8(
-        q, *packed.packed_layer(0), 7, rows_per_block=rows_per_block, interpret=True
-    )
+    got = _kernel(q, packed, 0, 7, rows_per_block=rows_per_block)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=0)
 
 
 def test_packed_kernel_respects_valid_len():
-    """Slots past valid_len must not contribute even when they hold data."""
+    """Slots past valid_len must not contribute even when they hold data;
+    layer=1 also checks the static-layer block indexing."""
     packed, _ = _filled_caches(seed=4, writes=9)
     q = jnp.asarray(np.random.default_rng(5).standard_normal((B, H, 1, D)), jnp.float32)
-    short = packed_decode_attention_q8(q, *packed.packed_layer(1), 4, interpret=True)
+    short = _kernel(q, packed, 1, 4)
     want = decode_attention(q, *packed.layer(1), valid_len=4)
     np.testing.assert_allclose(np.asarray(short), np.asarray(want), atol=2e-2, rtol=0)
-    full = packed_decode_attention_q8(q, *packed.packed_layer(1), 9, interpret=True)
+    full = _kernel(q, packed, 1, 9)
     assert not np.allclose(np.asarray(short), np.asarray(full), atol=1e-3)
 
 

@@ -85,14 +85,14 @@ def run_shape(tag, b, h, t, d):
         print(f"  pallas-int8  FAILED: {type(e).__name__}: {str(e)[:120]}")
     cp = PackedQuantKVCache.zeros(1, b, h, t, d)
     cp = cp.write(0, 0, kf.astype(jnp.float32), vf.astype(jnp.float32))
-    kp, vp, kps, vps = cp.packed_layer(0)
-    for rb in (8, 4, 16):
+    for rb in (8, 4, 2):
         if b % rb:
             continue
         try:
             bench(f"packed-rb{rb}", loop(
                 lambda qq: packed_decode_attention_q8(
-                    qq, kp, vp, kps, vps, n, rows_per_block=rb)), q)
+                    qq, cp.k, cp.v, cp.k_scale, cp.v_scale, 0, n,
+                    rows_per_block=rb)), q)
         except Exception as e:  # noqa: BLE001
             print(f"  packed-rb{rb}  FAILED: {type(e).__name__}: {str(e)[:120]}")
 

@@ -163,10 +163,13 @@ class PackedQuantKVCache:
     dims (D=64: half a lane tile).
 
     Single-token writes are free in this layout: ``[B, H, 1, D] -> [B, 1, H*D]``
-    is a pure reshape. Multi-token writes (prefill bursts) pay one small
-    transpose.
+    is a pure reshape, and the ``[B, H, t]`` quantization scales store
+    directly (scales are kept in ``[L, B, H, T]`` orientation — T on lanes —
+    because a ``[..., H]``-minor array gets lane-padded 16 -> 128 by XLA, an
+    8x HBM blowup the first integration of this cache paid for). Multi-token
+    writes (prefill bursts) pay one small payload transpose.
 
-    k, v: int8 ``[L, B, T, H*D]``; k_scale, v_scale: bf16 ``[L, B, T, H]``.
+    k, v: int8 ``[L, B, T, H*D]``; k_scale, v_scale: bf16 ``[L, B, H, T]``.
     """
 
     k: jnp.ndarray
@@ -180,8 +183,8 @@ class PackedQuantKVCache:
         return cls(
             k=jnp.zeros((n_layers, batch, max_len, n_heads * head_dim), jnp.int8),
             v=jnp.zeros((n_layers, batch, max_len, n_heads * head_dim), jnp.int8),
-            k_scale=jnp.zeros((n_layers, batch, max_len, n_heads), jnp.bfloat16),
-            v_scale=jnp.zeros((n_layers, batch, max_len, n_heads), jnp.bfloat16),
+            k_scale=jnp.zeros((n_layers, batch, n_heads, max_len), jnp.bfloat16),
+            v_scale=jnp.zeros((n_layers, batch, n_heads, max_len), jnp.bfloat16),
             head_dim=head_dim,
         )
 
@@ -191,31 +194,28 @@ class PackedQuantKVCache:
 
     @property
     def n_heads(self) -> int:
-        return self.k_scale.shape[-1]
+        return self.k_scale.shape[2]
 
     def _pack(self, x: jnp.ndarray):
-        """[B, H, t, D] -> (int8 payload [B, t, H*D], bf16 scale [B, t, H])."""
+        """[B, H, t, D] -> (int8 payload [B, t, H*D], bf16 scale [B, H, t])."""
         q, scale = QuantKVCache._quantize(x)  # [B, H, t, D], [B, H, t]
         b, h, t, d = q.shape
         payload = q.transpose(0, 2, 1, 3).reshape(b, t, h * d)
-        return payload, scale.transpose(0, 2, 1)
+        return payload, scale
 
     def write(self, layer: int, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "PackedQuantKVCache":
         kq, ks = self._pack(k_new)
         vq, vs = self._pack(v_new)
-        idx = (jnp.int32(layer), jnp.int32(0), jnp.asarray(pos, jnp.int32), jnp.int32(0))
+        pos = jnp.asarray(pos, jnp.int32)
+        idx = (jnp.int32(layer), jnp.int32(0), pos, jnp.int32(0))
+        sidx = (jnp.int32(layer), jnp.int32(0), jnp.int32(0), pos)
         return PackedQuantKVCache(
             k=jax.lax.dynamic_update_slice(self.k, kq[None], idx),
             v=jax.lax.dynamic_update_slice(self.v, vq[None], idx),
-            k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks[None], idx),
-            v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs[None], idx),
+            k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks[None], sidx),
+            v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs[None], sidx),
             head_dim=self.head_dim,
         )
-
-    def packed_layer(self, layer: int):
-        """Raw packed tensors for the Pallas kernel:
-        ``(k [B, T, H*D] int8, v, k_scale [B, T, H], v_scale)``."""
-        return self.k[layer], self.v[layer], self.k_scale[layer], self.v_scale[layer]
 
     def layer(self, layer: int):
         """Dequantized ``[B, H, T, D]`` bf16 K/V (XLA-path fallback: prefill
@@ -226,15 +226,15 @@ class PackedQuantKVCache:
         d = self.head_dim
 
         def unpack(payload, scale):
-            x = payload.reshape(b, t, h, d).astype(jnp.bfloat16)
-            return (x * scale[..., None]).transpose(0, 2, 1, 3)
+            x = payload.reshape(b, t, h, d).astype(jnp.bfloat16).transpose(0, 2, 1, 3)
+            return x * scale[..., None]  # scale [B, H, T]
 
         return unpack(self.k[layer], self.k_scale[layer]), unpack(self.v[layer], self.v_scale[layer])
 
     def slice_to(self, t: int) -> "PackedQuantKVCache":
         return PackedQuantKVCache(
             k=self.k[:, :, :t], v=self.v[:, :, :t],
-            k_scale=self.k_scale[:, :, :t], v_scale=self.v_scale[:, :, :t],
+            k_scale=self.k_scale[..., :t], v_scale=self.v_scale[..., :t],
             head_dim=self.head_dim,
         )
 

@@ -131,29 +131,37 @@ def _packed_attn_kernel_q8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
     per-(batch, head) kernel above runs a grid of 2048 programs whose 33 KB
     blocks leave the DMA engines idle — measured 2.5x *slower* than XLA
     (PERFORMANCE.md). This kernel flips the decomposition: the grid covers
-    batch blocks only (16 programs at RAR shapes), each program streams
-    ``[RB, T, H*D]`` int8 K/V tiles (≈2 MB — full-width DMAs), and all H
-    heads of one row are computed in TWO MXU matmuls instead of 2·H batched
-    matvecs:
+    batch blocks only, each program streams ``[RB, T, H*D]`` int8 K/V tiles
+    (full-width DMAs), and all H heads of one row are computed in TWO MXU
+    matmuls instead of 2·H batched matvecs:
 
-      scores[T, H] = K[T, H*D] ·ᵀ Qbd[H, H*D]     (block-diagonal query)
-      out[H, H*D]  = P[T, H]ᵀ · V[T, H*D]          (diagonal blocks kept)
+      scores[H, T] = Qbd[H, H*D] · K[T, H*D]ᵀ     (block-diagonal query)
+      out[H, H*D]  = P[H, T] · V[T, H*D]           (diagonal blocks kept)
 
     where ``Qbd[h'] = q_h' on its own head's D-slice, 0 elsewhere`` and the
     diagonal extraction is a masked sublane reduction. The H× MXU waste is
     irrelevant — the op is cache-read bandwidth bound and the matmuls hide
-    entirely under the DMA stream.
+    under the DMA stream.
+
+    Two integration rules learned the hard way (the first wiring measured 3x
+    *slower* end-to-end than its own microbench):
+      * the kernel takes the FULL stacked ``[L, ...]`` cache with the layer
+        baked into the BlockSpec index map — slicing ``k[layer]`` outside
+        materializes a per-layer HBM copy at the custom-call boundary;
+      * scales live in ``[H, T]`` orientation (T on lanes). A ``[T, H]``
+        array has a 16-wide minor dim that XLA lane-pads 16 -> 128, an 8x
+        read blowup per step. ``[H, T]`` also makes both dots transpose-free
+        and the softmax a lane-axis reduction.
 
     Per-(token, head) scales are applied *after* the score matmul (exact,
-    one [T, H] VPU multiply) and folded into P before the value matmul, so
-    the int8 payload feeds the MXU directly — no [T, H*D]-sized dequantized
-    cache copy materializes outside VMEM.
+    one [H, T] VPU multiply) and folded into P before the value matmul, so
+    the int8 payload feeds the MXU directly.
 
-    Blocks: q ``[RB, 1, HD]``, k/v ``[RB, T, HD]`` int8, ks/vs ``[RB, T, H]``,
-    out ``[RB, 1, HD]``. Grid: ``(B // RB,)``.
+    Blocks: q ``[RB, 1, HD]``, k/v ``[1, RB, T, HD]`` int8,
+    ks/vs ``[1, RB, H, T]``, out ``[RB, 1, HD]``. Grid: ``(B // RB,)``.
     """
-    rb, t, hd = k_ref.shape
-    h = ks_ref.shape[-1]
+    _, rb, t, hd = k_ref.shape
+    h = ks_ref.shape[2]
     d = hd // h
     scale = jnp.float32(d**-0.5)
 
@@ -162,26 +170,26 @@ def _packed_attn_kernel_q8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
     col = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
     head_mask = (col // d == row).astype(jnp.float32)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (t, h), 0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (h, t), 1)
     valid = pos < len_ref[0]
 
     for r in range(rb):  # static unroll: RB independent rows per program
         qrow = q_ref[r].astype(jnp.float32)  # [1, HD]
         qbd = (head_mask * qrow).astype(jnp.bfloat16)  # [H, HD]
         s_raw = jax.lax.dot_general(
-            k_ref[r].astype(jnp.bfloat16), qbd,
+            qbd, k_ref[0, r].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [T, H]
-        s = s_raw * ks_ref[r].astype(jnp.float32) * scale
+        )  # [H, T]
+        s = s_raw * ks_ref[0, r].astype(jnp.float32) * scale
         s = jnp.where(valid, s, -1e30)
-        m = jnp.max(s, axis=0, keepdims=True)  # [1, H]
+        m = jnp.max(s, axis=1, keepdims=True)  # [H, 1]
         p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=0, keepdims=True)  # [1, H]
-        pv = (p / denom) * vs_ref[r].astype(jnp.float32)  # [T, H]
+        denom = jnp.sum(p, axis=1, keepdims=True)  # [H, 1]
+        pv = (p / denom) * vs_ref[0, r].astype(jnp.float32)  # [H, T]
         o_big = jax.lax.dot_general(
-            pv.astype(jnp.bfloat16), v_ref[r].astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            pv.astype(jnp.bfloat16), v_ref[0, r].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, HD]
         o = jnp.sum(o_big * head_mask, axis=0, keepdims=True)  # [1, HD]
@@ -190,26 +198,31 @@ def _packed_attn_kernel_q8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
 
 def packed_decode_attention_q8(
     q: jnp.ndarray,
-    k_packed: jnp.ndarray,
-    v_packed: jnp.ndarray,
-    k_scale: jnp.ndarray,
-    v_scale: jnp.ndarray,
+    k_all: jnp.ndarray,
+    v_all: jnp.ndarray,
+    k_scale_all: jnp.ndarray,
+    v_scale_all: jnp.ndarray,
+    layer,
     valid_len,
     rows_per_block: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused decode attention over a packed int8 cache (``PackedQuantKVCache``).
 
-    ``q [B, H, 1, D]``; ``k_packed/v_packed [B, T, H*D]`` int8;
-    ``k_scale/v_scale [B, T, H]`` per-(token, head) scales.
-    Returns ``[B, H, 1, D]``. See :func:`_packed_attn_kernel_q8` for the
-    decomposition rationale.
+    ``q [B, H, 1, D]``; ``k_all/v_all [L, B, T, H*D]`` int8 — the FULL
+    stacked cache (``layer`` is a static int baked into the block index
+    map, so no per-layer slice is materialized at the custom-call boundary);
+    ``k_scale_all/v_scale_all [L, B, H, T]`` per-(token, head) scales.
+    Returns ``[B, H, 1, D]``. See :func:`_packed_attn_kernel_q8`.
     """
     b, h, tq, d = q.shape
     assert tq == 1, "packed kernel is single-token decode only"
-    t = k_packed.shape[1]
+    t = k_all.shape[2]
     hd = h * d
-    rb = rows_per_block or next(r for r in (8, 4, 2, 1) if b % r == 0)
+    layer = int(layer)
+    # rb=4 measured fastest at the RAR shape (490 us vs 752 at rb=8: smaller
+    # tiles pipeline DMA/compute better; rb=16 exceeds the remote compiler)
+    rb = rows_per_block or next(r for r in (4, 2, 1) if b % r == 0)
     lens = jnp.full((1,), valid_len, jnp.int32)
     # [B, H, 1, D] -> [B, 1, HD]: pure reshape (row-major order preserved)
     qp = q.reshape(b, 1, hd)
@@ -222,15 +235,15 @@ def packed_decode_attention_q8(
             grid=(b // rb,),
             in_specs=[
                 pl.BlockSpec((rb, 1, hd), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((rb, t, hd), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((rb, t, hd), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((rb, t, h), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((rb, t, h), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, rb, t, hd), lambda i, *_: (layer, i, 0, 0)),
+                pl.BlockSpec((1, rb, t, hd), lambda i, *_: (layer, i, 0, 0)),
+                pl.BlockSpec((1, rb, h, t), lambda i, *_: (layer, i, 0, 0)),
+                pl.BlockSpec((1, rb, h, t), lambda i, *_: (layer, i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((rb, 1, hd), lambda i, *_: (i, 0, 0)),
         ),
         interpret=interpret,
-    )(lens, qp, k_packed, v_packed, k_scale, v_scale)
+    )(lens, qp, k_all, v_all, k_scale_all, v_scale_all)
     return out.reshape(b, h, 1, d)
 
 
