@@ -4,7 +4,7 @@
 Measures the generation *mechanics* (temporal scan + depformer + per-stream
 Maryland watermark hooks) at a ~1B-param config — NOT real-Moshi (7B)
 throughput; see PERFORMANCE.md. Knobs: BENCH_AUDIO_BATCH (8),
-BENCH_AUDIO_FRAMES (125), BENCH_AUDIO_CACHE (int8|bf16|f32, default int8).
+BENCH_AUDIO_FRAMES (125), BENCH_AUDIO_CACHE (int8|packed|bf16|f32, default int8).
 
 Prints one JSON line {frames_per_sec, realtime_x (12.5 fps frames)}.
 """
@@ -32,7 +32,8 @@ def main():
 
     batch = int(os.environ.get("BENCH_AUDIO_BATCH", "8"))
     frames = int(os.environ.get("BENCH_AUDIO_FRAMES", "125"))
-    cache = {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32}[
+    cache = {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32,
+             "packed": "packed"}[
         os.environ.get("BENCH_AUDIO_CACHE", "int8")]
     tiny = jax.devices()[0].platform == "cpu"
     if tiny:

@@ -224,10 +224,9 @@ def _temporal_step(params, cfg: MoshiConfig, x_emb, cache, pos):
         k = L.apply_rope(k, positions, tcfg.rope_theta)
         q, k, v = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
         cache = cache.write(li, pos, k, v)
-        k_all, v_all = cache.layer(li)
-        from wmar_tpu.engine.attention import decode_attention
+        from wmar_tpu.engine.attention import cached_decode_attention
 
-        attn = decode_attention(q, k_all, v_all, jnp.asarray(pos) + 1)
+        attn = cached_decode_attention(q, cache, li, jnp.asarray(pos) + 1)
         attn_out = mm(attn.transpose(0, 2, 1, 3).reshape(b, 1, tcfg.dim), blk["wo"])
         x = x + (blk["ls1"] * attn_out if "ls1" in blk else attn_out)
         h2 = L._rms(x, blk["ffn_norm"], tcfg.norm_eps)

@@ -31,6 +31,7 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
     if (
         isinstance(cache, PackedQuantKVCache)
         and q.shape[2] == 1
+        and q.shape[1] == cache.n_heads  # no GQA head-repeat inside the kernel
         and start is None
         and key_mask is None
     ):
