@@ -78,19 +78,20 @@ def ablated_block(blk, cfg, x, c, cache, layer, pos, *, attn, mlp, adaln, write)
     return x, cache
 
 
-def build_runner(params, cfg, batch, cache_dtype, steps, *, attn=True, mlp=True,
+def build_runner(cfg, batch, cache_dtype, steps, *, attn=True, mlp=True,
                  adaln=True, write=True, blocks=True, sample=True):
-    sampler = RARSampler(params, cfg, jnp.arange(batch) % cfg.num_classes,
-                         guidance_scale=4.0, cache_dtype=cache_dtype)
-    bb = sampler.cond_ids.shape[0]
+    # params flow in as jit ARGUMENTS — closure capture would bake ~1 GB of
+    # weights into the serialized HLO as constants, which the tunneled
+    # remote compiler rejects with HTTP 413 (armm.py has the same note).
     max_len = cfg.max_positions
 
-    def step(cache, prev, step_idx):
+    def step(params, sampler, cache, prev, step_idx):
+        bb = sampler.cond_ids.shape[0]
         tokens = jnp.concatenate([prev, prev], axis=0)
         pos = step_idx + 1
         positions = jnp.broadcast_to(pos, (bb, 1)).astype(jnp.int32)
         x = _embed_inputs(params, cfg, tokens[:, None], positions)
-        c = sampler._cond_stream(positions)
+        c = sampler._cond_stream(positions)  # noqa: SLF001
         if blocks:
             for li, blk in enumerate(params["blocks"]):
                 x, cache = ablated_block(blk, cfg, x, c, cache, li, pos,
@@ -100,13 +101,16 @@ def build_runner(params, cfg, batch, cache_dtype, steps, *, attn=True, mlp=True,
         logits = _linear(h, params["lm_head"])
         return sampler._combine(logits[:, 0], step_idx), cache
 
-    def run(rng):
+    def run(params, rng):
+        sampler = RARSampler(params, cfg, jnp.arange(batch) % cfg.num_classes,
+                             guidance_scale=4.0, cache_dtype=cache_dtype)
+        bb = sampler.cond_ids.shape[0]
         cache = KVCache.zeros(cfg.depth, bb, cfg.num_heads, max_len, cfg.head_dim, cache_dtype)
         # skip real prefill: decode-step cost is what we measure
 
         def body(carry, i):
             cache, prev = carry
-            logits, cache = step(cache, prev, i)
+            logits, cache = step(params, sampler, cache, prev, i)
             if sample:
                 tok = jax.random.categorical(jax.random.fold_in(rng, i), logits)
             else:
@@ -121,14 +125,14 @@ def build_runner(params, cfg, batch, cache_dtype, steps, *, attn=True, mlp=True,
     return run
 
 
-def bench(tag, fn, steps):
+def bench(tag, fn, params, steps):
     f = jax.jit(fn)
-    arg = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(0)
     t0 = time.time()
-    jax.block_until_ready(f(arg))
+    jax.block_until_ready(f(params, rng))
     comp = time.time() - t0
     t0 = time.time()
-    jax.block_until_ready(f(arg))
+    jax.block_until_ready(f(params, rng))
     dt = time.time() - t0
     print(f"  {tag:28s} {dt:7.3f} s/scan  {dt/steps*1e3:7.3f} ms/step  (compile {comp:.0f}s)",
           flush=True)
@@ -158,8 +162,8 @@ def main():
     print(f"platform={jax.devices()[0].platform} size={args.size} batch={args.batch} "
           f"cache={args.cache} w8={args.w8} steps={args.steps}", flush=True)
 
-    mk = lambda **kw: build_runner(params, cfg, args.batch, cache_dtype, args.steps, **kw)
-    full = bench("full", mk(), args.steps)
+    mk = lambda **kw: build_runner(cfg, args.batch, cache_dtype, args.steps, **kw)
+    full = bench("full", mk(), params, args.steps)
     for tag, kw in [
         ("no-sample (argmax)", dict(sample=False)),
         ("no-adaln", dict(adaln=False)),
@@ -168,7 +172,7 @@ def main():
         ("no-attn (skip attn branch)", dict(attn=False)),
         ("no-blocks (embed+head only)", dict(blocks=False)),
     ]:
-        dt = bench(tag, mk(**kw), args.steps)
+        dt = bench(tag, mk(**kw), params, args.steps)
         print(f"    -> delta vs full: {full-dt:+.3f} s", flush=True)
 
 
