@@ -227,6 +227,15 @@ def packed_decode_attention_q8(
     # [B, H, 1, D] -> [B, 1, HD]: pure reshape (row-major order preserved)
     qp = q.reshape(b, 1, hd)
 
+    # The batch-block grid dim is "arbitrary" (programs independent), and the
+    # VMEM budget must fit TWO K/V block generations or Mosaic drops to
+    # pipeline depth 1 and the DMA stream stops hiding compute.
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     out = pl.pallas_call(
         _packed_attn_kernel_q8,
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
@@ -243,6 +252,7 @@ def packed_decode_attention_q8(
             out_specs=pl.BlockSpec((rb, 1, hd), lambda i, *_: (i, 0, 0)),
         ),
         interpret=interpret,
+        **kwargs,
     )(lens, qp, k_all, v_all, k_scale_all, v_scale_all)
     return out.reshape(b, h, 1, d)
 
