@@ -50,14 +50,13 @@ def test_packed_multitoken_write_matches_single_token_writes():
     single = PackedQuantKVCache.zeros(L, B, H, T, D)
     for i in range(3):
         single = single.write(0, 2 + i, k[:, :, i : i + 1], v[:, :, i : i + 1])
-    np.testing.assert_array_equal(np.asarray(burst.k), np.asarray(single.k))
-    np.testing.assert_array_equal(np.asarray(burst.k_scale), np.asarray(single.k_scale))
+    np.testing.assert_array_equal(np.asarray(burst.kv), np.asarray(single.kv))
+    np.testing.assert_array_equal(np.asarray(burst.scale), np.asarray(single.scale))
 
 
 def _kernel(q, packed, layer, valid_len, **kw):
     return packed_decode_attention_q8(
-        q, packed.k, packed.v, packed.k_scale, packed.v_scale, layer, valid_len,
-        interpret=True, **kw)
+        q, packed.kv, packed.scale, layer, valid_len, interpret=True, **kw)
 
 
 @pytest.mark.parametrize("rows_per_block", [1, 2, 4])

@@ -91,8 +91,7 @@ def run_shape(tag, b, h, t, d):
         try:
             bench(f"packed-rb{rb}", loop(
                 lambda qq: packed_decode_attention_q8(
-                    qq, cp.k, cp.v, cp.k_scale, cp.v_scale, 0, n,
-                    rows_per_block=rb)), q)
+                    qq, cp.kv, cp.scale, 0, n, rows_per_block=rb)), q)
         except Exception as e:  # noqa: BLE001
             print(f"  packed-rb{rb}  FAILED: {type(e).__name__}: {str(e)[:120]}")
 

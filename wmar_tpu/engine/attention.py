@@ -38,7 +38,7 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
         from wmar_tpu.ops.flash_decode import packed_decode_attention_q8
 
         return packed_decode_attention_q8(
-            q, cache.k, cache.v, cache.k_scale, cache.v_scale, layer, valid_len,
+            q, cache.kv, cache.scale, layer, valid_len,
             interpret=jax.default_backend() != "tpu",
         )
     k_all, v_all = cache.layer(layer)

@@ -151,69 +151,71 @@ class QuantKVCache:
 
 @flax.struct.dataclass
 class PackedQuantKVCache:
-    """int8 KV cache in the packed-heads layout ``[L, B, T, H*D]``.
+    """int8 KV cache in the packed-heads layout ``[L, B, T, 2*H*D]``.
 
     Same quantization math as :class:`QuantKVCache` (per-(token, head)
-    absmax, so dequantized values are bit-identical), but the head axis is
-    folded into the minor dimension. That is the layout the batch-blocked
-    Pallas decode kernel (:func:`wmar_tpu.ops.flash_decode.packed_decode_attention_q8`)
-    wants: one ``[RB, T, H*D]`` tile per grid program = full-width contiguous
-    DMAs, versus the ``[B, H, T, D]`` layout whose per-(b, h) ``[T, D]``
-    slices are too narrow to saturate the DMA engines at image-model head
-    dims (D=64: half a lane tile).
+    absmax, so dequantized values are bit-identical), but K and V live in
+    ONE payload array with the head axis folded into the minor dimension
+    (first H*D lanes = K, last H*D = V), and the scales in one
+    ``[L, B, 2H, T]`` array. That is the layout the batch-blocked Pallas
+    decode kernel (:func:`wmar_tpu.ops.flash_decode.packed_decode_attention_q8`)
+    wants:
 
-    Single-token writes are free in this layout: ``[B, H, 1, D] -> [B, 1, H*D]``
-    is a pure reshape, and the ``[B, H, t]`` quantization scales store
-    directly (scales are kept in ``[L, B, H, T]`` orientation — T on lanes —
-    because a ``[..., H]``-minor array gets lane-padded 16 -> 128 by XLA, an
-    8x HBM blowup the first integration of this cache paid for). Multi-token
-    writes (prefill bursts) pay one small payload transpose.
+    * one ``[RB, T, 2*H*D]`` tile per grid program = full-width contiguous
+      DMAs, versus the ``[B, H, T, D]`` layout whose per-(b, h) ``[T, D]``
+      slices are too narrow to saturate the DMA engines at image-model head
+      dims (D=64: half a lane tile);
+    * scales keep T on the LANE axis — a ``[..., H=16]``-minor array gets
+      lane-padded 16 -> 128 by XLA, an 8x HBM read blowup (measured: the
+      first integration of this cache lost 3x end-to-end to exactly that);
+    * combining K/V halves the ``dynamic_update_slice`` count per decode
+      step (2 ops/layer instead of 4) — the write path was 0.22 s of a
+      2.38 s RAR-XL batch as 4 ops/layer (bench_rar_ablate).
 
-    k, v: int8 ``[L, B, T, H*D]``; k_scale, v_scale: bf16 ``[L, B, H, T]``.
+    Single-token writes are cheap in this layout: ``[B, H, 1, D] ->
+    [B, 1, H*D]`` is a pure reshape and the ``[B, H, t]`` scales store
+    directly. Multi-token writes (prefill bursts) pay one small transpose.
+
+    kv: int8 ``[L, B, T, 2*H*D]``; scale: bf16 ``[L, B, 2*H, T]``.
     """
 
-    k: jnp.ndarray
-    v: jnp.ndarray
-    k_scale: jnp.ndarray
-    v_scale: jnp.ndarray
+    kv: jnp.ndarray
+    scale: jnp.ndarray
     head_dim: int = flax.struct.field(pytree_node=False)
 
     @classmethod
     def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int):
         return cls(
-            k=jnp.zeros((n_layers, batch, max_len, n_heads * head_dim), jnp.int8),
-            v=jnp.zeros((n_layers, batch, max_len, n_heads * head_dim), jnp.int8),
-            k_scale=jnp.zeros((n_layers, batch, n_heads, max_len), jnp.bfloat16),
-            v_scale=jnp.zeros((n_layers, batch, n_heads, max_len), jnp.bfloat16),
+            kv=jnp.zeros((n_layers, batch, max_len, 2 * n_heads * head_dim), jnp.int8),
+            scale=jnp.zeros((n_layers, batch, 2 * n_heads, max_len), jnp.bfloat16),
             head_dim=head_dim,
         )
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.kv.shape[2]
 
     @property
     def n_heads(self) -> int:
-        return self.k_scale.shape[2]
-
-    def _pack(self, x: jnp.ndarray):
-        """[B, H, t, D] -> (int8 payload [B, t, H*D], bf16 scale [B, H, t])."""
-        q, scale = QuantKVCache._quantize(x)  # [B, H, t, D], [B, H, t]
-        b, h, t, d = q.shape
-        payload = q.transpose(0, 2, 1, 3).reshape(b, t, h * d)
-        return payload, scale
+        return self.scale.shape[2] // 2
 
     def write(self, layer: int, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "PackedQuantKVCache":
-        kq, ks = self._pack(k_new)
-        vq, vs = self._pack(v_new)
+        """Write ``[B, H, t, D]`` keys/values: ONE payload + ONE scale DUS."""
+        kq, ks = QuantKVCache._quantize(k_new)  # [B, H, t, D], [B, H, t]
+        vq, vs = QuantKVCache._quantize(v_new)
+        b, h, t, d = kq.shape
+        payload = jnp.concatenate(
+            [kq.transpose(0, 2, 1, 3).reshape(b, t, h * d),
+             vq.transpose(0, 2, 1, 3).reshape(b, t, h * d)], axis=-1)
+        scales = jnp.concatenate([ks, vs], axis=1)  # [B, 2H, t]
         pos = jnp.asarray(pos, jnp.int32)
-        idx = (jnp.int32(layer), jnp.int32(0), pos, jnp.int32(0))
-        sidx = (jnp.int32(layer), jnp.int32(0), jnp.int32(0), pos)
         return PackedQuantKVCache(
-            k=jax.lax.dynamic_update_slice(self.k, kq[None], idx),
-            v=jax.lax.dynamic_update_slice(self.v, vq[None], idx),
-            k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks[None], sidx),
-            v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs[None], sidx),
+            kv=jax.lax.dynamic_update_slice(
+                self.kv, payload[None],
+                (jnp.int32(layer), jnp.int32(0), pos, jnp.int32(0))),
+            scale=jax.lax.dynamic_update_slice(
+                self.scale, scales[None],
+                (jnp.int32(layer), jnp.int32(0), jnp.int32(0), pos)),
             head_dim=self.head_dim,
         )
 
@@ -221,30 +223,31 @@ class PackedQuantKVCache:
         """Dequantized ``[B, H, T, D]`` bf16 K/V (XLA-path fallback: prefill
         bursts and non-TPU backends). Values match :class:`QuantKVCache`
         bit-for-bit; only the storage layout differs."""
-        b, t, hd = self.k.shape[1:]
+        b, t, hd2 = self.kv.shape[1:]
         h = self.n_heads
         d = self.head_dim
 
-        def unpack(payload, scale):
+        def unpack(payload, scale):  # [B, T, H*D], [B, H, T]
             x = payload.reshape(b, t, h, d).astype(jnp.bfloat16).transpose(0, 2, 1, 3)
-            return x * scale[..., None]  # scale [B, H, T]
+            return x * scale[..., None]
 
-        return unpack(self.k[layer], self.k_scale[layer]), unpack(self.v[layer], self.v_scale[layer])
+        hd = hd2 // 2
+        return (
+            unpack(self.kv[layer, :, :, :hd], self.scale[layer, :, :h]),
+            unpack(self.kv[layer, :, :, hd:], self.scale[layer, :, h:]),
+        )
 
     def slice_to(self, t: int) -> "PackedQuantKVCache":
         return PackedQuantKVCache(
-            k=self.k[:, :, :t], v=self.v[:, :, :t],
-            k_scale=self.k_scale[..., :t], v_scale=self.v_scale[..., :t],
+            kv=self.kv[:, :, :t], scale=self.scale[..., :t],
             head_dim=self.head_dim,
         )
 
     def merge_prefix(self, prefix: "PackedQuantKVCache") -> "PackedQuantKVCache":
         zeros4 = (jnp.int32(0),) * 4
         return PackedQuantKVCache(
-            k=jax.lax.dynamic_update_slice(self.k, prefix.k, zeros4),
-            v=jax.lax.dynamic_update_slice(self.v, prefix.v, zeros4),
-            k_scale=jax.lax.dynamic_update_slice(self.k_scale, prefix.k_scale, zeros4),
-            v_scale=jax.lax.dynamic_update_slice(self.v_scale, prefix.v_scale, zeros4),
+            kv=jax.lax.dynamic_update_slice(self.kv, prefix.kv, zeros4),
+            scale=jax.lax.dynamic_update_slice(self.scale, prefix.scale, zeros4),
             head_dim=self.head_dim,
         )
 

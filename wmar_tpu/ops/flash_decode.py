@@ -124,16 +124,16 @@ def flash_decode_attention(
     return out
 
 
-def _packed_attn_kernel_q8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
-    """Packed-heads decode attention over an int8 cache laid out ``[T, H*D]``.
+def _packed_attn_kernel_q8(len_ref, q_ref, kv_ref, s_ref, o_ref):
+    """Packed-heads decode attention over an int8 cache laid out ``[T, 2*H*D]``.
 
     Why this exists: at RAR decode shapes (B=128, H=16, T=258, D=64) the
     per-(batch, head) kernel above runs a grid of 2048 programs whose 33 KB
     blocks leave the DMA engines idle — measured 2.5x *slower* than XLA
     (PERFORMANCE.md). This kernel flips the decomposition: the grid covers
-    batch blocks only, each program streams ``[RB, T, H*D]`` int8 K/V tiles
-    (full-width DMAs), and all H heads of one row are computed in TWO MXU
-    matmuls instead of 2·H batched matvecs:
+    batch blocks only, each program streams one ``[RB, T, 2*H*D]`` int8 K+V
+    tile (a single full-width DMA), and all H heads of one row are computed
+    in TWO MXU matmuls instead of 2·H batched matvecs:
 
       scores[H, T] = Qbd[H, H*D] · K[T, H*D]ᵀ     (block-diagonal query)
       out[H, H*D]  = P[H, T] · V[T, H*D]           (diagonal blocks kept)
@@ -146,22 +146,24 @@ def _packed_attn_kernel_q8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
     Two integration rules learned the hard way (the first wiring measured 3x
     *slower* end-to-end than its own microbench):
       * the kernel takes the FULL stacked ``[L, ...]`` cache with the layer
-        baked into the BlockSpec index map — slicing ``k[layer]`` outside
+        baked into the BlockSpec index map — slicing ``kv[layer]`` outside
         materializes a per-layer HBM copy at the custom-call boundary;
-      * scales live in ``[H, T]`` orientation (T on lanes). A ``[T, H]``
+      * scales live in ``[2H, T]`` orientation (T on lanes). A ``[T, H]``
         array has a 16-wide minor dim that XLA lane-pads 16 -> 128, an 8x
-        read blowup per step. ``[H, T]`` also makes both dots transpose-free
+        read blowup per step. ``[2H, T]`` also makes both dots transpose-free
         and the softmax a lane-axis reduction.
 
     Per-(token, head) scales are applied *after* the score matmul (exact,
     one [H, T] VPU multiply) and folded into P before the value matmul, so
     the int8 payload feeds the MXU directly.
 
-    Blocks: q ``[RB, 1, HD]``, k/v ``[1, RB, T, HD]`` int8,
-    ks/vs ``[1, RB, H, T]``, out ``[RB, 1, HD]``. Grid: ``(B // RB,)``.
+    Blocks: q ``[RB, 1, HD]``, kv ``[1, RB, T, 2*HD]`` int8 (lanes
+    ``[:HD]`` = K, ``[HD:]`` = V), scales ``[1, RB, 2H, T]`` (rows ``[:H]``
+    = K, ``[H:]`` = V), out ``[RB, 1, HD]``. Grid: ``(B // RB,)``.
     """
-    _, rb, t, hd = k_ref.shape
-    h = ks_ref.shape[2]
+    _, rb, t, hd2 = kv_ref.shape
+    hd = hd2 // 2
+    h = s_ref.shape[2] // 2
     d = hd // h
     scale = jnp.float32(d**-0.5)
 
@@ -177,18 +179,18 @@ def _packed_attn_kernel_q8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
         qrow = q_ref[r].astype(jnp.float32)  # [1, HD]
         qbd = (head_mask * qrow).astype(jnp.bfloat16)  # [H, HD]
         s_raw = jax.lax.dot_general(
-            qbd, k_ref[0, r].astype(jnp.bfloat16),
+            qbd, kv_ref[0, r, :, :hd].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, T]
-        s = s_raw * ks_ref[0, r].astype(jnp.float32) * scale
+        s = s_raw * s_ref[0, r, :h].astype(jnp.float32) * scale
         s = jnp.where(valid, s, -1e30)
         m = jnp.max(s, axis=1, keepdims=True)  # [H, 1]
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=1, keepdims=True)  # [H, 1]
-        pv = (p / denom) * vs_ref[0, r].astype(jnp.float32)  # [H, T]
+        pv = (p / denom) * s_ref[0, r, h:].astype(jnp.float32)  # [H, T]
         o_big = jax.lax.dot_general(
-            pv.astype(jnp.bfloat16), v_ref[0, r].astype(jnp.bfloat16),
+            pv.astype(jnp.bfloat16), kv_ref[0, r, :, hd:].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, HD]
@@ -198,10 +200,8 @@ def _packed_attn_kernel_q8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
 
 def packed_decode_attention_q8(
     q: jnp.ndarray,
-    k_all: jnp.ndarray,
-    v_all: jnp.ndarray,
-    k_scale_all: jnp.ndarray,
-    v_scale_all: jnp.ndarray,
+    kv_all: jnp.ndarray,
+    scale_all: jnp.ndarray,
     layer,
     valid_len,
     rows_per_block: int = 0,
@@ -209,19 +209,19 @@ def packed_decode_attention_q8(
 ) -> jnp.ndarray:
     """Fused decode attention over a packed int8 cache (``PackedQuantKVCache``).
 
-    ``q [B, H, 1, D]``; ``k_all/v_all [L, B, T, H*D]`` int8 — the FULL
-    stacked cache (``layer`` is a static int baked into the block index
-    map, so no per-layer slice is materialized at the custom-call boundary);
-    ``k_scale_all/v_scale_all [L, B, H, T]`` per-(token, head) scales.
+    ``q [B, H, 1, D]``; ``kv_all [L, B, T, 2*H*D]`` int8 — the FULL stacked
+    cache (``layer`` is a static int baked into the block index map, so no
+    per-layer slice is materialized at the custom-call boundary);
+    ``scale_all [L, B, 2H, T]`` per-(token, head) scales.
     Returns ``[B, H, 1, D]``. See :func:`_packed_attn_kernel_q8`.
     """
     b, h, tq, d = q.shape
     assert tq == 1, "packed kernel is single-token decode only"
-    t = k_all.shape[2]
+    t = kv_all.shape[2]
     hd = h * d
     layer = int(layer)
-    # rb=4 measured fastest at the RAR shape (490 us vs 752 at rb=8: smaller
-    # tiles pipeline DMA/compute better; rb=16 exceeds the remote compiler)
+    # rb=4 measured fastest at the RAR shape (464 us vs 476 at rb=8/2 with
+    # the tuned compiler params; rb=16 exceeds the remote compiler)
     rb = rows_per_block or next(r for r in (4, 2, 1) if b % r == 0)
     lens = jnp.full((1,), valid_len, jnp.int32)
     # [B, H, 1, D] -> [B, 1, HD]: pure reshape (row-major order preserved)
@@ -244,16 +244,14 @@ def packed_decode_attention_q8(
             grid=(b // rb,),
             in_specs=[
                 pl.BlockSpec((rb, 1, hd), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, rb, t, hd), lambda i, *_: (layer, i, 0, 0)),
-                pl.BlockSpec((1, rb, t, hd), lambda i, *_: (layer, i, 0, 0)),
-                pl.BlockSpec((1, rb, h, t), lambda i, *_: (layer, i, 0, 0)),
-                pl.BlockSpec((1, rb, h, t), lambda i, *_: (layer, i, 0, 0)),
+                pl.BlockSpec((1, rb, t, 2 * hd), lambda i, *_: (layer, i, 0, 0)),
+                pl.BlockSpec((1, rb, 2 * h, t), lambda i, *_: (layer, i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((rb, 1, hd), lambda i, *_: (i, 0, 0)),
         ),
         interpret=interpret,
         **kwargs,
-    )(lens, qp, k_all, v_all, k_scale_all, v_scale_all)
+    )(lens, qp, kv_all, scale_all)
     return out.reshape(b, h, 1, d)
 
 
