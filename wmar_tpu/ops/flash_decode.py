@@ -221,8 +221,12 @@ def packed_decode_attention_q8(
     hd = h * d
     layer = int(layer)
     # rb=4 measured fastest at the RAR shape (464 us vs 476 at rb=8/2 with
-    # the tuned compiler params; rb=16 exceeds the remote compiler)
-    rb = rows_per_block or next(r for r in (4, 2, 1) if b % r == 0)
+    # the tuned compiler params; rb=16 exceeds the remote compiler).
+    # WMAR_PACKED_RB overrides for experiments.
+    import os
+
+    rb = rows_per_block or int(os.environ.get("WMAR_PACKED_RB", "0"))
+    rb = rb or next(r for r in (4, 2, 1) if b % r == 0)
     lens = jnp.full((1,), valid_len, jnp.int32)
     # [B, H, 1, D] -> [B, 1, HD]: pure reshape (row-major order preserved)
     qp = q.reshape(b, 1, hd)
