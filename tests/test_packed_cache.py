@@ -68,6 +68,19 @@ def test_packed_kernel_matches_xla_decode(rows_per_block):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=0)
 
 
+@pytest.mark.parametrize("chunk_t", [8, 16, 32])
+@pytest.mark.parametrize("valid_len", [3, 9, 17, 32])
+def test_packed_kernel_chunked_matches_single_block(chunk_t, valid_len):
+    """Online-softmax chunked path == single-block path == XLA, for lengths
+    landing inside the first/middle/last chunk (the dynamic index map must
+    elide chunks past valid_len without changing results)."""
+    packed, _ = _filled_caches(seed=9, writes=T)
+    q = jnp.asarray(np.random.default_rng(10).standard_normal((B, H, 1, D)), jnp.float32)
+    want = decode_attention(q, *packed.layer(0), valid_len=valid_len)
+    got = _kernel(q, packed, 0, valid_len, chunk_t=chunk_t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=0)
+
+
 def test_packed_kernel_respects_valid_len():
     """Slots past valid_len must not contribute even when they hold data;
     layer=1 also checks the static-layer block indexing."""
