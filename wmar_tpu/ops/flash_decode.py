@@ -224,7 +224,11 @@ def packed_decode_attention_q8(
     if chunk_t is None:
         import os as _os
 
-        chunk_t = int(_os.environ.get("WMAR_PACKED_CHUNK", "64"))
+        chunk_t = int(_os.environ.get("WMAR_PACKED_CHUNK", "128"))
+    if chunk_t and not interpret:
+        # Mosaic requires lane-dim block sizes divisible by 128 (the scale
+        # blocks chunk T on lanes), and kv sublane chunks divisible by 8.
+        chunk_t = -(-chunk_t // 128) * 128
     # rb=4 measured fastest at the RAR shape (464 us vs 476 at rb=8/2 with
     # the tuned compiler params; rb=16 exceeds the remote compiler).
     # WMAR_PACKED_RB overrides for experiments.
@@ -240,11 +244,17 @@ def packed_decode_attention_q8(
     # VMEM budget must fit TWO K/V block generations or Mosaic drops to
     # pipeline depth 1 and the DMA stream stops hiding compute.
     kwargs = {}
-    if not interpret:
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+
+    def _params(ndims):
+        # all dims "arbitrary": programs run sequentially, which the chunked
+        # path's online-softmax scratch carry requires
+        if interpret:
+            return {}
+        return {"compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * ndims,
             vmem_limit_bytes=100 * 1024 * 1024,
-        )
+        )}
+
     if chunk_t and chunk_t < t:
         tc = chunk_t
         nc = -(-t // tc)
@@ -274,7 +284,7 @@ def packed_decode_attention_q8(
                 ],
             ),
             interpret=interpret,
-            **kwargs,
+            **_params(2),
         )(lens, qp, kv_all, scale_all)
         return out.reshape(b, h, 1, d)
 
@@ -292,7 +302,7 @@ def packed_decode_attention_q8(
             out_specs=pl.BlockSpec((rb, 1, hd), lambda i, *_: (i, 0, 0)),
         ),
         interpret=interpret,
-        **kwargs,
+        **_params(1),
     )(lens, qp, kv_all, scale_all)
     return out.reshape(b, h, 1, d)
 
