@@ -224,7 +224,11 @@ def packed_decode_attention_q8(
     if chunk_t is None:
         import os as _os
 
-        chunk_t = int(_os.environ.get("WMAR_PACKED_CHUNK", "128"))
+        # Default OFF at image-model shapes: measured 24.9 vs 28.8 imgs/s
+        # e2e at T=258 (the online-softmax scratch carry + 3x grid steps
+        # cost more than the ~24% read saving). The lever matters at long
+        # contexts where valid_len << T for most of the generation.
+        chunk_t = int(_os.environ.get("WMAR_PACKED_CHUNK", "0"))
     if chunk_t and not interpret:
         # Mosaic requires lane-dim block sizes divisible by 128 (the scale
         # blocks chunk T on lanes), and kv sublane chunks divisible by 8.
