@@ -47,7 +47,10 @@ def build(args):
 def make_step(cfg, params, cache_dtype, steps, cache_len):
     b = 3
 
-    def run(tok0, cache, pos0):
+    # params are jit ARGUMENTS: closure capture bakes ~GBs of weights into
+    # the serialized HLO as constants and the tunneled remote compiler
+    # rejects the request with HTTP 413 (same fix as bench_rar_ablate.py).
+    def run(params, tok0, cache, pos0):
         def body(carry, _):
             tok, cache, pos = carry
             positions = jnp.full((b, 1), pos, jnp.int32)
@@ -78,7 +81,7 @@ def make_step(cfg, params, cache_dtype, steps, cache_len):
 
     cache = jax.block_until_ready(make_cache(jax.random.PRNGKey(0)))
     tok0 = jnp.zeros((b, 1), jnp.int32)
-    return run, (tok0, cache, jnp.int32(pre))
+    return run, (params, tok0, cache, jnp.int32(pre))
 
 
 def bench(tag, cfg, params, cache_dtype, steps, cache_len, flash):
