@@ -132,14 +132,26 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndar
     return out.reshape(b, t, h, d).astype(x.dtype)
 
 
-# Opt-in Pallas flash-decode for single-token steps: measured 17% faster
-# than the XLA path at the Chameleon-4k decode shape (PERFORMANCE.md), a
-# wash-to-loss at short caches — hence env-gated, default XLA.
-USE_FLASH_DECODE = os.environ.get("WMAR_FLASH_DECODE", "0") == "1"
+# Pallas flash-decode for single-token steps. Measured end-to-end at the
+# Chameleon-4k decode shape (tools/bench_llama_e2e.py, real chip): 1.09x vs
+# XLA with a bf16 cache (5.37 vs 5.88 ms/step), 1.21x with int8 — but a
+# loss at short caches, where XLA's fused attention wins. Default is
+# therefore AUTO: kernel when the cache has >= 2048 slots, XLA below.
+# WMAR_FLASH_DECODE=1/0 forces; None = auto (bench tooling may also set the
+# module flag directly).
+USE_FLASH_DECODE = {"1": True, "0": False}.get(
+    os.environ.get("WMAR_FLASH_DECODE", "auto"))
+FLASH_DECODE_MIN_CACHE = 2048
+
+
+def _flash_enabled(cache_len: int) -> bool:
+    if USE_FLASH_DECODE is not None:
+        return USE_FLASH_DECODE
+    return cache_len >= FLASH_DECODE_MIN_CACHE
 
 
 def _cache_attention(q, cache, li, valid_len, start, key_mask):
-    if USE_FLASH_DECODE and q.shape[2] == 1:
+    if q.shape[2] == 1 and _flash_enabled(cache.max_len):
         from wmar_tpu.engine.kvcache import QuantKVCache
         from wmar_tpu.ops.flash_decode import (
             flash_decode_attention,
