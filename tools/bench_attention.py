@@ -85,6 +85,13 @@ def run_shape(tag, b, h, t, d):
         print(f"  pallas-int8  FAILED: {type(e).__name__}: {str(e)[:120]}")
     cp = PackedQuantKVCache.zeros(1, b, h, t, d)
     cp = cp.write(0, 0, kf.astype(jnp.float32), vf.astype(jnp.float32))
+    try:
+        from wmar_tpu.ops.flash_decode import _packed_dma_probe
+
+        bench("packed-dma", loop(
+            lambda qq: _packed_dma_probe(qq, cp.kv, cp.scale, 0)), q)
+    except Exception as e:  # noqa: BLE001
+        print(f"  packed-dma  FAILED: {type(e).__name__}: {str(e)[:120]}")
     for rb in (8, 4, 2):
         if b % rb:
             continue

@@ -482,3 +482,45 @@ def flash_decode_attention_q8(
         interpret=interpret,
     )(*args)
     return out
+
+
+def _dma_probe_kernel(q_ref, kv_ref, s_ref, o_ref):
+    """Diagnostic body: touch the streamed blocks with near-zero compute."""
+    _, rb, t, hd2 = kv_ref.shape
+    hd = hd2 // 2
+    for r in range(rb):
+        row = kv_ref[0, r, :1, :hd].astype(jnp.float32)  # [1, HD]
+        o_ref[r] = (row + s_ref[0, r, :1, :1].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _packed_dma_probe(q, kv_all, scale_all, layer, rows_per_block: int = 4,
+                      interpret: bool = False):
+    """Bandwidth diagnostic for the packed kernel (bench_attention only):
+    identical grid/blocks to :func:`packed_decode_attention_q8` but the body
+    reads one row per block. Its runtime is the pure DMA + pipeline cost;
+    the gap to the real kernel is compute/lowering, not bandwidth."""
+    b, h, tq, d = q.shape
+    t = kv_all.shape[2]
+    hd = h * d
+    layer = int(layer)
+    rb = rows_per_block
+    qp = q.reshape(b, 1, hd)
+    kwargs = {} if interpret else {"compiler_params": pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)}
+    out = pl.pallas_call(
+        _dma_probe_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b // rb,),
+            in_specs=[
+                pl.BlockSpec((rb, 1, hd), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, rb, t, 2 * hd), lambda i: (layer, i, 0, 0)),
+                pl.BlockSpec((1, rb, 2 * h, t), lambda i: (layer, i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((rb, 1, hd), lambda i: (i, 0, 0)),
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(qp, kv_all, scale_all)
+    return out.reshape(b, h, 1, d)
