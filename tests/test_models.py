@@ -208,3 +208,19 @@ def test_rar_spatial_watermark_e2e(rar_params, mg_vq):
     codes = wrapper.sample([1, 2, 3, 4], gen, apply_watermark=True, rng=jax.random.PRNGKey(0))
     pv = np.asarray(detect(spec, wrapper.greenlist, codes))
     assert (pv < 0.05).all(), pv
+
+
+def test_flash_decode_auto_threshold(monkeypatch):
+    """Default flash mode is AUTO: kernel only at >= 2048-slot caches
+    (end-to-end evidence in PERFORMANCE.md), forced by WMAR_FLASH_DECODE."""
+    import wmar_tpu.models.llama as L
+
+    monkeypatch.setattr(L, "USE_FLASH_DECODE", None)
+    assert not L._flash_enabled(258)
+    assert not L._flash_enabled(1024)
+    assert L._flash_enabled(2048)
+    assert L._flash_enabled(4096)
+    monkeypatch.setattr(L, "USE_FLASH_DECODE", True)
+    assert L._flash_enabled(258)
+    monkeypatch.setattr(L, "USE_FLASH_DECODE", False)
+    assert not L._flash_enabled(4096)
