@@ -107,6 +107,23 @@ def test_cached_decode_attention_dispatch():
     assert out2.shape == (B, H, 2, D)
 
 
+def test_taming_gpt_decode_packed_vs_int8():
+    """Taming GPT decode (the second packed-dispatch consumer): logits with
+    a packed cache match the int8-cache XLA path."""
+    from wmar_tpu.models.taming_gpt import GPTConfig, gpt_forward, init_gpt_params, prefill
+
+    cfg = GPTConfig(vocab_size=32, block_size=24, n_layer=2, n_head=4, n_embd=32)
+    params = init_gpt_params(jax.random.PRNGKey(0), cfg)
+    cond = jnp.asarray(np.random.default_rng(0).integers(0, 32, (3, 2)), jnp.int32)
+    outs = {}
+    for cd in (jnp.int8, "packed"):
+        logits, cache = prefill(params, cfg, cond, max_len=8, dtype=cd)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        step_logits, _ = gpt_forward(params, cfg, tok[:, None], cache, 2)
+        outs[cd] = np.asarray(step_logits[:, -1])
+    np.testing.assert_allclose(outs[jnp.int8], outs["packed"], atol=5e-2, rtol=0)
+
+
 def test_kvcache_zeros_dispatches_packed():
     c = KVCache.zeros(L, B, H, T, D, dtype="packed")
     assert isinstance(c, PackedQuantKVCache)
