@@ -102,7 +102,8 @@ def main():
     # (BENCH_CACHE={int8,bf16,f32,int4} to compare).
     cache_env = os.environ.get("BENCH_CACHE", "packed")
     cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32,
-                   "int4": "int4", "packed": "packed"}[cache_env]
+                   "int4": "int4", "packed": "packed",
+                   "packed4": "packed4"}[cache_env]
     wrapper = RarARMM(rar_params, rar_cfg, vq_params, vq_cfg, cache_dtype=cache_dtype)
     spec = WatermarkSpec(
         vocab_size=rar_cfg.codebook_size,

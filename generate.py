@@ -48,7 +48,7 @@ def get_parser():
     p.add_argument("--decoder_ft_ckpt", type=str, default=None, help="RCC decoder delta (msgpack)")
     p.add_argument("--tiny", action="store_true", help="random tiny model (smoke test)")
     p.add_argument("--cache_dtype", type=str, default=None,
-                   choices=["bf16", "f32", "int8", "int4", "packed"],
+                   choices=["bf16", "f32", "int8", "int4", "packed", "packed4"],
                    help="KV-cache dtype override; int8 halves decode-attention "
                         "HBM reads (~0.4%% quantization noise, not token-exact); "
                         "int4 (nibble-packed) halves them again at ~7%% noise; "
@@ -278,7 +278,8 @@ def main(argv=None):
     if args.cache_dtype:
         wrapper.cache_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
                                "int8": jnp.int8, "int4": "int4",
-                               "packed": "packed"}[args.cache_dtype]
+                               "packed": "packed",
+                               "packed4": "packed4"}[args.cache_dtype]
     if args.weight_dtype == "int8":
         if hasattr(wrapper, "rar_params"):
             from wmar_tpu.models.rar import quantize_rar_params_int8

@@ -155,3 +155,57 @@ def test_rar_decode_packed_vs_int8_cache():
     # near-tie argmax occasionally, so require near-total agreement
     agree = (outs[jnp.int8] == outs["packed"]).mean()
     assert agree > 0.95, f"greedy agreement {agree}"
+
+
+def test_packed4_kernel_matches_dequantized_xla():
+    """int4 packed kernel == XLA attention over the SAME quantized values
+    (layer() dequantizes the nibbles exactly, so tolerance is bf16-matmul
+    level, not int4-noise level)."""
+    from wmar_tpu.engine.kvcache import Packed4QuantKVCache
+    from wmar_tpu.ops.flash_decode import packed4_decode_attention
+
+    rng = np.random.default_rng(20)
+    cache = Packed4QuantKVCache.zeros(L, B, H, T, D)
+    for pos in range(6):
+        for li in range(L):
+            cache = cache.write(
+                li, pos,
+                jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32),
+                jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32))
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    for li in range(L):
+        want = decode_attention(q, *cache.layer(li), valid_len=6)
+        got = packed4_decode_attention(q, cache.kv, cache.scale, li, 6, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=0)
+
+
+def test_packed4_quantization_noise_is_bounded():
+    """int4 values reconstruct within absmax/7 of the originals."""
+    from wmar_tpu.engine.kvcache import Packed4QuantKVCache
+
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((B, H, 3, D)).astype(np.float32)
+    cache = Packed4QuantKVCache.zeros(1, B, H, T, D).write(
+        0, 0, jnp.asarray(x), jnp.asarray(-x))
+    k, v = cache.layer(0)
+    k = np.asarray(k[:, :, :3], np.float32)
+    v = np.asarray(v[:, :, :3], np.float32)
+    step = np.abs(x).max(axis=-1, keepdims=True) / 7.0
+    xt = x.transpose(0, 1, 2, 3)  # [B, H, t, D] already
+    # rounding error <= step/2 plus bf16 rounding of the stored scale and
+    # of the dequant product (~0.4% relative each)
+    assert np.all(np.abs(k - xt) <= step * 0.55 + 1e-6)
+    assert np.all(np.abs(v + xt) <= step * 0.55 + 1e-6)
+
+
+def test_packed4_end_to_end_dispatch():
+    from wmar_tpu.engine.kvcache import KVCache, Packed4QuantKVCache
+
+    c = KVCache.zeros(L, B, H, T, D, dtype="packed4")
+    assert isinstance(c, Packed4QuantKVCache)
+    rng = np.random.default_rng(22)
+    c = c.write(0, 0, jnp.asarray(rng.standard_normal((B, H, 2, D)), jnp.float32),
+                jnp.asarray(rng.standard_normal((B, H, 2, D)), jnp.float32))
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    out = cached_decode_attention(q, c, 0, 2)
+    assert out.shape == (B, H, 1, D) and bool(jnp.isfinite(out).all())

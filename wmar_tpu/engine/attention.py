@@ -26,18 +26,24 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
     ``start``/``key_mask`` rows — goes through the XLA path, whose
     elementwise dequantization fuses into the attention dots.
     """
-    from wmar_tpu.engine.kvcache import PackedQuantKVCache
+    from wmar_tpu.engine.kvcache import Packed4QuantKVCache, PackedQuantKVCache
 
     if (
-        isinstance(cache, PackedQuantKVCache)
+        isinstance(cache, (PackedQuantKVCache, Packed4QuantKVCache))
         and q.shape[2] == 1
         and q.shape[1] == cache.n_heads  # no GQA head-repeat inside the kernel
         and start is None
         and key_mask is None
     ):
-        from wmar_tpu.ops.flash_decode import packed_decode_attention_q8
+        from wmar_tpu.ops.flash_decode import (
+            packed4_decode_attention,
+            packed_decode_attention_q8,
+        )
 
-        return packed_decode_attention_q8(
+        kernel = (packed4_decode_attention
+                  if isinstance(cache, Packed4QuantKVCache)
+                  else packed_decode_attention_q8)
+        return kernel(
             q, cache.kv, cache.scale, layer, valid_len,
             interpret=jax.default_backend() != "tpu",
         )

@@ -35,6 +35,8 @@ class KVCache:
             return Quant4KVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
         if dtype == "packed":
             return PackedQuantKVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
+        if dtype == "packed4":
+            return Packed4QuantKVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
         shape = (n_layers, batch, n_heads, max_len, head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
@@ -246,6 +248,102 @@ class PackedQuantKVCache:
     def merge_prefix(self, prefix: "PackedQuantKVCache") -> "PackedQuantKVCache":
         zeros4 = (jnp.int32(0),) * 4
         return PackedQuantKVCache(
+            kv=jax.lax.dynamic_update_slice(self.kv, prefix.kv, zeros4),
+            scale=jax.lax.dynamic_update_slice(self.scale, prefix.scale, zeros4),
+            head_dim=self.head_dim,
+        )
+
+
+@flax.struct.dataclass
+class Packed4QuantKVCache:
+    """int4 KV cache in the packed-heads layout: ONE ``[L, B, T, H*D]``
+    uint8 array where each byte holds the K nibble (low) and V nibble
+    (high) for the same (token, head, dim) — half the cache bytes of
+    :class:`PackedQuantKVCache` with the identical kernel block structure.
+
+    The packed decode kernel is DMA-bandwidth bound (PERFORMANCE.md: the
+    DMA-only probe runs within 10% of the full kernel), so halving the
+    payload is the remaining lever; the in-VMEM nibble unpack is VPU work
+    the DMA stream hides. Quantization noise is ~1/14 of each token's
+    absmax — appreciably coarser than int8, so this stays OPT-IN
+    (``--cache_dtype packed4`` / ``BENCH_CACHE=packed4``) with quality
+    measured, not assumed.
+
+    kv: uint8 ``[L, B, T, H*D]``; scale: bf16 ``[L, B, 2*H, T]`` (rows
+    ``[:H]`` = K scales, ``[H:]`` = V).
+    """
+
+    kv: jnp.ndarray
+    scale: jnp.ndarray
+    head_dim: int = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int):
+        return cls(
+            kv=jnp.zeros((n_layers, batch, max_len, n_heads * head_dim), jnp.uint8),
+            scale=jnp.zeros((n_layers, batch, 2 * n_heads, max_len), jnp.bfloat16),
+            head_dim=head_dim,
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.kv.shape[2]
+
+    @property
+    def n_heads(self) -> int:
+        return self.scale.shape[2] // 2
+
+    @staticmethod
+    def _quantize4(x: jnp.ndarray):
+        """[B, H, t, D] -> (nibble values in [1, 15] as uint8, bf16 scale)."""
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(absmax, 1e-8) / 7.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7)
+        return (q + 8.0).astype(jnp.uint8), scale.astype(jnp.bfloat16)
+
+    def write(self, layer: int, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "Packed4QuantKVCache":
+        kq, ks = self._quantize4(k_new)  # [B, H, t, D], [B, H, t]
+        vq, vs = self._quantize4(v_new)
+        b, h, t, d = kq.shape
+        payload = kq | (vq << 4)  # K low nibble, V high
+        payload = payload.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+        scales = jnp.concatenate([ks, vs], axis=1)  # [B, 2H, t]
+        pos = jnp.asarray(pos, jnp.int32)
+        return Packed4QuantKVCache(
+            kv=jax.lax.dynamic_update_slice(
+                self.kv, payload[None],
+                (jnp.int32(layer), jnp.int32(0), pos, jnp.int32(0))),
+            scale=jax.lax.dynamic_update_slice(
+                self.scale, scales[None],
+                (jnp.int32(layer), jnp.int32(0), jnp.int32(0), pos)),
+            head_dim=self.head_dim,
+        )
+
+    def layer(self, layer: int):
+        """Dequantized ``[B, H, T, D]`` bf16 K/V (XLA fallback path)."""
+        b, t, hd = self.kv.shape[1:]
+        h = self.n_heads
+        d = self.head_dim
+        u = self.kv[layer]
+
+        def unpack(nib, scale):  # nib [B, T, H*D] in [1,15], scale [B, H, T]
+            x = (nib.astype(jnp.bfloat16) - 8.0).reshape(b, t, h, d).transpose(0, 2, 1, 3)
+            return x * scale[..., None]
+
+        return (
+            unpack(u & 0xF, self.scale[layer, :, :h]),
+            unpack(u >> 4, self.scale[layer, :, h:]),
+        )
+
+    def slice_to(self, t: int) -> "Packed4QuantKVCache":
+        return Packed4QuantKVCache(
+            kv=self.kv[:, :, :t], scale=self.scale[..., :t],
+            head_dim=self.head_dim,
+        )
+
+    def merge_prefix(self, prefix: "Packed4QuantKVCache") -> "Packed4QuantKVCache":
+        zeros4 = (jnp.int32(0),) * 4
+        return Packed4QuantKVCache(
             kv=jax.lax.dynamic_update_slice(self.kv, prefix.kv, zeros4),
             scale=jax.lax.dynamic_update_slice(self.scale, prefix.scale, zeros4),
             head_dim=self.head_dim,

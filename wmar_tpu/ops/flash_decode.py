@@ -524,3 +524,89 @@ def _packed_dma_probe(q, kv_all, scale_all, layer, rows_per_block: int = 4,
         **kwargs,
     )(qp, kv_all, scale_all)
     return out.reshape(b, h, 1, d)
+
+
+def _packed4_attn_kernel(len_ref, q_ref, kv_ref, s_ref, o_ref):
+    """int4 variant of :func:`_packed_attn_kernel_q8`: the block is ONE
+    ``[1, RB, T, H*D]`` uint8 tile whose low nibbles are K and high nibbles
+    V for the same (t, h, d) — half the DMA bytes; the unpack is two VPU
+    passes the DMA stream hides (the int8 kernel's DMA-only probe runs
+    within 10% of its full time, so bytes are the binding constraint)."""
+    _, rb, t, hd = kv_ref.shape
+    h = s_ref.shape[2] // 2
+    d = hd // h
+    scale = jnp.float32(d**-0.5)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
+    head_mask = (col // d == row).astype(jnp.float32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (h, t), 1)
+    valid = pos < len_ref[0]
+
+    for r in range(rb):
+        u = kv_ref[0, r]  # [T, HD] uint8
+        k = ((u & 0xF).astype(jnp.bfloat16) - 8.0)
+        v = ((u >> 4).astype(jnp.bfloat16) - 8.0)
+        qrow = q_ref[r].astype(jnp.float32)  # [1, HD]
+        qbd = (head_mask * qrow).astype(jnp.bfloat16)  # [H, HD]
+        s_raw = jax.lax.dot_general(
+            qbd, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [H, T]
+        sc = s_raw * s_ref[0, r, :h].astype(jnp.float32) * scale
+        sc = jnp.where(valid, sc, -1e30)
+        m = jnp.max(sc, axis=1, keepdims=True)
+        p = jnp.exp(sc - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        pv = (p / denom) * s_ref[0, r, h:].astype(jnp.float32)
+        o_big = jax.lax.dot_general(
+            pv.astype(jnp.bfloat16), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [H, HD]
+        o = jnp.sum(o_big * head_mask, axis=0, keepdims=True)
+        o_ref[r] = o.astype(o_ref.dtype)
+
+
+def packed4_decode_attention(
+    q: jnp.ndarray,
+    kv_all: jnp.ndarray,
+    scale_all: jnp.ndarray,
+    layer,
+    valid_len,
+    rows_per_block: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused decode attention over a ``Packed4QuantKVCache``.
+
+    ``q [B, H, 1, D]``; ``kv_all [L, B, T, H*D]`` uint8 (K low / V high
+    nibbles); ``scale_all [L, B, 2H, T]``. Returns ``[B, H, 1, D]``.
+    """
+    b, h, tq, d = q.shape
+    assert tq == 1, "packed kernel is single-token decode only"
+    t = kv_all.shape[2]
+    hd = h * d
+    layer = int(layer)
+    import os as _os
+
+    rb = rows_per_block or int(_os.environ.get("WMAR_PACKED_RB", "0"))
+    rb = rb or next(r for r in (4, 2, 1) if b % r == 0)
+    lens = jnp.full((1,), valid_len, jnp.int32)
+    qp = q.reshape(b, 1, hd)
+    kwargs = {} if interpret else {"compiler_params": pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)}
+    out = pl.pallas_call(
+        _packed4_attn_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // rb,),
+            in_specs=[
+                pl.BlockSpec((rb, 1, hd), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, rb, t, hd), lambda i, *_: (layer, i, 0, 0)),
+                pl.BlockSpec((1, rb, 2 * h, t), lambda i, *_: (layer, i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((rb, 1, hd), lambda i, *_: (i, 0, 0)),
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(lens, qp, kv_all, scale_all)
+    return out.reshape(b, h, 1, d)
