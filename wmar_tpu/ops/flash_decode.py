@@ -545,8 +545,9 @@ def _packed4_attn_kernel(len_ref, q_ref, kv_ref, s_ref, o_ref):
 
     for r in range(rb):
         u = kv_ref[0, r]  # [T, HD] uint8
-        k = ((u & 0xF).astype(jnp.bfloat16) - 8.0)
-        v = ((u >> 4).astype(jnp.bfloat16) - 8.0)
+        # Mosaic has no direct uint8 -> bf16 cast; hop through int32
+        k = ((u & 0xF).astype(jnp.int32) - 8).astype(jnp.bfloat16)
+        v = ((u >> 4).astype(jnp.int32) - 8).astype(jnp.bfloat16)
         qrow = q_ref[r].astype(jnp.float32)  # [1, HD]
         qbd = (head_mask * qrow).astype(jnp.bfloat16)  # [H, HD]
         s_raw = jax.lax.dot_general(
