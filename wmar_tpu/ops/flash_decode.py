@@ -544,10 +544,11 @@ def _packed4_attn_kernel(len_ref, q_ref, kv_ref, s_ref, o_ref):
     valid = pos < len_ref[0]
 
     for r in range(rb):
-        u = kv_ref[0, r]  # [T, HD] uint8
-        # Mosaic has no direct uint8 -> bf16 cast; hop through int32
-        k = ((u & 0xF).astype(jnp.int32) - 8).astype(jnp.bfloat16)
-        v = ((u >> 4).astype(jnp.int32) - 8).astype(jnp.bfloat16)
+        # widen FIRST: uint8 bit ops and uint8->bf16 casts both trip the
+        # remote Mosaic toolchain; int32 mask/shift lowers cleanly
+        ui = kv_ref[0, r].astype(jnp.int32)  # [T, HD]
+        k = ((ui & 0xF) - 8).astype(jnp.bfloat16)
+        v = ((ui >> 4) - 8).astype(jnp.bfloat16)
         qrow = q_ref[r].astype(jnp.float32)  # [1, HD]
         qbd = (head_mask * qrow).astype(jnp.bfloat16)  # [H, HD]
         s_raw = jax.lax.dot_general(
