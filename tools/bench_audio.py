@@ -33,7 +33,7 @@ def main():
     batch = int(os.environ.get("BENCH_AUDIO_BATCH", "8"))
     frames = int(os.environ.get("BENCH_AUDIO_FRAMES", "125"))
     cache = {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32,
-             "packed": "packed"}[
+             "packed": "packed", "packed4": "packed4"}[
         os.environ.get("BENCH_AUDIO_CACHE", "int8")]
     tiny = jax.devices()[0].platform == "cpu"
     if tiny:

@@ -40,7 +40,7 @@ def get_parser():
                         "text head (per-output-channel absmax; 7B MOSHI_V01: "
                         "14 GB bf16 -> 7 GB, fits one v5e). Not token-exact")
     p.add_argument("--cache_dtype", type=str, default=None,
-                   choices=["f32", "bf16", "int8", "packed"],
+                   choices=["f32", "bf16", "int8", "packed", "packed4"],
                    help="temporal KV-cache dtype; int8 halves the dominant "
                         "cache reads (+65%% frames/s), packed adds the "
                         "batch-blocked Pallas decode kernel (+29%% on int8, "
@@ -230,7 +230,8 @@ def main(argv=None):
         moshi_params = quantize_moshi_params_int8(
             moshi_params, compute_dtype=None if args.tiny else jnp.bfloat16)
     cache_dtype = {None: jnp.float32, "f32": jnp.float32, "bf16": jnp.bfloat16,
-                   "int8": jnp.int8, "packed": "packed"}[args.cache_dtype]
+                   "int8": jnp.int8, "packed": "packed",
+                   "packed4": "packed4"}[args.cache_dtype]
     gen = MoshiGen(moshi_params, moshi_cfg, wm, cache_dtype=cache_dtype)
     prompt_codes = None
     if args.use_prompts and args.audio_dir:
