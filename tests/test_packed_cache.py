@@ -209,3 +209,28 @@ def test_packed4_end_to_end_dispatch():
     q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
     out = cached_decode_attention(q, c, 0, 2)
     assert out.shape == (B, H, 1, D) and bool(jnp.isfinite(out).all())
+
+
+def test_rar_decode_packed4_greedy_agreement():
+    """Quality proxy for the int4 cache: greedy tokens vs the f32 cache on a
+    tiny RAR. int4 noise (absmax/7 per token) flips some near-tie argmaxes;
+    the bulk must survive — this documents the measured agreement level."""
+    from wmar_tpu.models import GenParams, RARConfig, RarARMM, init_rar_params
+    from wmar_tpu.models.maskgit_vqgan import MaskGitVQConfig, MaskGitVQGAN
+
+    cfg = RARConfig(embed_dim=32, depth=2, num_heads=2, intermediate_size=64,
+                    image_seq_len=16, codebook_size=32, num_classes=4)
+    vq_cfg = MaskGitVQConfig(resolution=8, hidden_channels=32, channel_mult=(1, 2),
+                             num_res_blocks=1, z_channels=16, n_embed=32, embed_dim=16)
+    params = init_rar_params(jax.random.PRNGKey(0), cfg)
+    vq = MaskGitVQGAN(vq_cfg)
+    vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+    gen = GenParams(temperature=0.0, guidance_scale=4.0)
+    classes = np.array([0, 1, 2, 3])
+    outs = {}
+    for cd in (jnp.float32, "packed4"):
+        wrapper = RarARMM(params, cfg, vq_params, vq_cfg, cache_dtype=cd)
+        outs[cd] = np.asarray(wrapper.sample(classes, gen, apply_watermark=False,
+                                             rng=jax.random.PRNGKey(2)))
+    agree = (outs[jnp.float32] == outs["packed4"]).mean()
+    assert agree > 0.7, f"int4 greedy agreement collapsed: {agree}"
