@@ -28,12 +28,18 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
     """
     from wmar_tpu.engine.kvcache import Packed4QuantKVCache, PackedQuantKVCache
 
+    interpret = jax.default_backend() != "tpu"
     if (
         isinstance(cache, (PackedQuantKVCache, Packed4QuantKVCache))
         and q.shape[2] == 1
         and q.shape[1] == cache.n_heads  # no GQA head-repeat inside the kernel
         and start is None
         and key_mask is None
+        # multi-chip TPU: a bare pallas_call has no partitioning rule, so a
+        # dp-sharded cache would be replicated (all-gathered) at the call —
+        # shard over chips with the XLA path instead. Interpret mode (tests)
+        # lowers to plain jax ops, which shard fine.
+        and (interpret or jax.device_count() == 1)
     ):
         from wmar_tpu.ops.flash_decode import (
             packed4_decode_attention,
@@ -43,10 +49,8 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
         kernel = (packed4_decode_attention
                   if isinstance(cache, Packed4QuantKVCache)
                   else packed_decode_attention_q8)
-        return kernel(
-            q, cache.kv, cache.scale, layer, valid_len,
-            interpret=jax.default_backend() != "tpu",
-        )
+        return kernel(q, cache.kv, cache.scale, layer, valid_len,
+                      interpret=interpret)
     k_all, v_all = cache.layer(layer)
     return decode_attention(q, k_all, v_all, valid_len, start=start, key_mask=key_mask)
 

@@ -147,7 +147,11 @@ FLASH_DECODE_MIN_CACHE = 2048
 def _flash_enabled(cache_len: int) -> bool:
     if USE_FLASH_DECODE is not None:
         return USE_FLASH_DECODE
-    return cache_len >= FLASH_DECODE_MIN_CACHE
+    # auto: single-device only — a bare pallas_call on a TP-sharded cache
+    # has no partitioning rule, so XLA would replicate (all-gather) the
+    # whole cache per layer-step; multi-chip serving keeps the XLA path
+    # unless WMAR_FLASH_DECODE=1 is forced knowingly
+    return cache_len >= FLASH_DECODE_MIN_CACHE and jax.device_count() == 1
 
 
 def _cache_attention(q, cache, li, valid_len, start, key_mask):
