@@ -89,9 +89,18 @@ def run_shape(tag, b, h, t, d):
         from wmar_tpu.ops.flash_decode import _packed_dma_probe
 
         bench("packed-dma", loop(
-            lambda qq: _packed_dma_probe(qq, cp.kv, cp.scale, 0)), q)
+            lambda qq: _packed_dma_probe(qq, cp.kv, cp.scale, 0,
+                                         rows_per_block=1 if b % 4 else 4)), q)
     except Exception as e:  # noqa: BLE001
         print(f"  packed-dma  FAILED: {type(e).__name__}: {str(e)[:120]}")
+    # chunked dynamic-length path: full-length worst case + mid-generation
+    for tag, n_valid in (("full", t), ("half", t // 2)):
+        try:
+            bench(f"packed-chunk128-{tag}", loop(
+                lambda qq, nv=jnp.int32(n_valid): packed_decode_attention_q8(
+                    qq, cp.kv, cp.scale, 0, nv, chunk_t=128)), q)
+        except Exception as e:  # noqa: BLE001
+            print(f"  packed-chunk128-{tag}  FAILED: {type(e).__name__}: {str(e)[:120]}")
     for rb in (8, 4, 2):
         if b % rb:
             continue
