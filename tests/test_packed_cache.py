@@ -234,3 +234,57 @@ def test_rar_decode_packed4_greedy_agreement():
                                              rng=jax.random.PRNGKey(2)))
     agree = (outs[jnp.float32] == outs["packed4"]).mean()
     assert agree > 0.7, f"int4 greedy agreement collapsed: {agree}"
+
+
+TL = 1024  # long-context length: activates the chunked default + mask path
+
+
+def _long_cache(seed=30, writes=12):
+    rng = np.random.default_rng(seed)
+    cache = PackedQuantKVCache.zeros(1, B, H, TL, D)
+    for pos in range(writes):
+        cache = cache.write(
+            0, pos,
+            jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32))
+    return cache
+
+
+def test_packed_chunked_start_mask_parity():
+    """start (ragged left padding) and key_mask (per-row slot validity)
+    through the chunked kernel must match the XLA path."""
+    cache = _long_cache()
+    rng = np.random.default_rng(31)
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    start = jnp.asarray([0, 2, 5, 1], jnp.int32)
+    km = jnp.asarray(rng.integers(0, 2, (B, TL)).astype(bool))
+    km = km.at[:, :12].set(True).at[:, 3].set(False)
+    want = decode_attention(q, *cache.layer(0), valid_len=12, start=start, key_mask=km)
+    got = packed_decode_attention_q8(
+        q, cache.kv, cache.scale, 0, 12, start=start, key_mask=km,
+        chunk_t=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=0)
+    # and via the dispatcher (max_len >= 1024 allows the masked route)
+    got2 = cached_decode_attention(q, cache, 0, 12, start=start, key_mask=km)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=2e-2, rtol=0)
+
+
+def test_llama_decode_with_packed_cache():
+    """llama_forward with a packed long cache routes through the packed
+    chunked kernel and matches the QuantKVCache XLA path."""
+    from wmar_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
+
+    cfg = LlamaConfig(dim=32, n_layers=2, n_heads=4, vocab_size=64,
+                      multiple_of=32, qk_normalization=True)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(np.random.default_rng(32).integers(0, 64, (2, 6)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(6)[None], (2, 6))
+    outs = {}
+    for cd in (jnp.int8, "packed"):
+        cache = KVCache.zeros(cfg.n_layers, 2, cfg.n_heads, TL, cfg.head_dim, cd)
+        _, cache = llama_forward(params, cfg, tokens, cache, 0, positions)
+        nxt = jnp.zeros((2, 1), jnp.int32)
+        logits, _ = llama_forward(params, cfg, nxt, cache, 6,
+                                  jnp.full((2, 1), 6, jnp.int32))
+        outs[cd] = np.asarray(logits[:, 0])
+    np.testing.assert_allclose(outs[jnp.int8], outs["packed"], atol=5e-2, rtol=0)

@@ -29,12 +29,17 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
     from wmar_tpu.engine.kvcache import Packed4QuantKVCache, PackedQuantKVCache
 
     interpret = jax.default_backend() != "tpu"
+    # start/key_mask are only supported by the q8 CHUNKED kernel path, which
+    # the wrapper activates at long contexts (T >= 1024)
+    masked = start is not None or key_mask is not None
+    masks_ok = (not masked) or (
+        isinstance(cache, PackedQuantKVCache) and cache.max_len >= 1024
+    )
     if (
         isinstance(cache, (PackedQuantKVCache, Packed4QuantKVCache))
         and q.shape[2] == 1
         and q.shape[1] == cache.n_heads  # no GQA head-repeat inside the kernel
-        and start is None
-        and key_mask is None
+        and masks_ok
         # multi-chip TPU: a bare pallas_call has no partitioning rule, so a
         # dp-sharded cache would be replicated (all-gathered) at the call —
         # shard over chips with the XLA path instead. Interpret mode (tests)
@@ -46,11 +51,17 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
             packed_decode_attention_q8,
         )
 
-        kernel = (packed4_decode_attention
-                  if isinstance(cache, Packed4QuantKVCache)
-                  else packed_decode_attention_q8)
-        return kernel(q, cache.kv, cache.scale, layer, valid_len,
-                      interpret=interpret)
+        if isinstance(cache, Packed4QuantKVCache):
+            if masked:
+                pass  # packed4 has no masked path; fall through to XLA
+            else:
+                return packed4_decode_attention(
+                    q, cache.kv, cache.scale, layer, valid_len,
+                    interpret=interpret)
+        else:
+            return packed_decode_attention_q8(
+                q, cache.kv, cache.scale, layer, valid_len,
+                start=start, key_mask=key_mask, interpret=interpret)
     k_all, v_all = cache.layer(layer)
     return decode_attention(q, k_all, v_all, valid_len, start=start, key_mask=key_mask)
 

@@ -155,6 +155,16 @@ def _flash_enabled(cache_len: int) -> bool:
 
 
 def _cache_attention(q, cache, li, valid_len, start, key_mask):
+    from wmar_tpu.engine.kvcache import Packed4QuantKVCache, PackedQuantKVCache
+
+    if isinstance(cache, (PackedQuantKVCache, Packed4QuantKVCache)):
+        # packed caches route through the shared dispatcher: the chunked
+        # packed kernel measured 507/455 us at the Chameleon-4k decode shape
+        # vs 657 us flash-bf16 (PERFORMANCE.md), with start/key_mask support
+        from wmar_tpu.engine.attention import cached_decode_attention
+
+        return cached_decode_attention(q, cache, li, valid_len,
+                                       start=start, key_mask=key_mask)
     if q.shape[2] == 1 and _flash_enabled(cache.max_len):
         from wmar_tpu.engine.kvcache import QuantKVCache
         from wmar_tpu.ops.flash_decode import (

@@ -204,6 +204,8 @@ def packed_decode_attention_q8(
     scale_all: jnp.ndarray,
     layer,
     valid_len,
+    start=None,
+    key_mask=None,
     rows_per_block: int = 0,
     chunk_t=None,
     interpret: bool = False,
@@ -224,11 +226,17 @@ def packed_decode_attention_q8(
     if chunk_t is None:
         import os as _os
 
-        # Default OFF at image-model shapes: measured 24.9 vs 28.8 imgs/s
-        # e2e at T=258 (the online-softmax scratch carry + 3x grid steps
-        # cost more than the ~24% read saving). The lever matters at long
-        # contexts where valid_len << T for most of the generation.
-        chunk_t = int(_os.environ.get("WMAR_PACKED_CHUNK", "0"))
+        env = _os.environ.get("WMAR_PACKED_CHUNK")
+        if env is not None:
+            chunk_t = int(env)
+        else:
+            # Shape-aware default, both ends measured on-chip: OFF at image
+            # shapes (24.9 vs 28.8 imgs/s at T=258 — the online-softmax
+            # scratch carry + 3x grid steps cost more than the ~24% read
+            # saving) and ON at long contexts (Chameleon-4k: 507/455 us vs
+            # 657 flash-bf16 — and the single-block path's [RB, T, 2HD]
+            # tile would blow VMEM anyway).
+            chunk_t = 128 if t >= 1024 else 0
     if chunk_t and not interpret:
         # Mosaic requires lane-dim block sizes divisible by 128 (the scale
         # blocks chunk T on lanes), and kv sublane chunks divisible by 8.
@@ -241,8 +249,14 @@ def packed_decode_attention_q8(
     rb = rows_per_block or int(os.environ.get("WMAR_PACKED_RB", "0"))
     rb = rb or next(r for r in (4, 2, 1) if b % r == 0)
     lens = jnp.full((1,), valid_len, jnp.int32)
+    starts = (jnp.zeros((b,), jnp.int32) if start is None
+              else jnp.asarray(start, jnp.int32))
     # [B, H, 1, D] -> [B, 1, HD]: pure reshape (row-major order preserved)
     qp = q.reshape(b, 1, hd)
+    if (start is not None or key_mask is not None) and not (chunk_t and chunk_t < t):
+        raise ValueError(
+            "start/key_mask support requires the chunked path (chunk_t < T); "
+            "the dispatcher only routes masked calls at long contexts")
 
     # The batch-block grid dim is "arbitrary" (programs independent), and the
     # VMEM budget must fit TWO K/V block generations or Mosaic drops to
@@ -263,23 +277,34 @@ def packed_decode_attention_q8(
         tc = chunk_t
         nc = -(-t // tc)
 
-        def kv_map(i, c, lens):
+        def kv_map(i, c, lens, *_):
             return (layer, i, jnp.minimum(c, pl.cdiv(lens[0], tc) - 1), 0)
 
-        def sc_map(i, c, lens):
+        def sc_map(i, c, lens, *_):
             return (layer, i, 0, jnp.minimum(c, pl.cdiv(lens[0], tc) - 1))
 
+        def km_map(i, c, lens, *_):
+            return (i, jnp.minimum(c, pl.cdiv(lens[0], tc) - 1))
+
+        in_specs = [
+            pl.BlockSpec((rb, 1, hd), lambda i, c, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rb, tc, 2 * hd), kv_map),
+            pl.BlockSpec((1, rb, 2 * h, tc), sc_map),
+        ]
+        args = [lens, starts, qp, kv_all, scale_all]
+        kernel = _packed_attn_kernel_q8_chunked
+        if key_mask is not None:
+            in_specs.append(pl.BlockSpec((rb, tc), km_map))
+            args.append(jnp.asarray(key_mask, jnp.bfloat16))
+            kernel = _packed_attn_kernel_q8_chunked_km
+
         out = pl.pallas_call(
-            _packed_attn_kernel_q8_chunked,
+            kernel,
             out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,  # lens
+                num_scalar_prefetch=2,  # lens, starts
                 grid=(b // rb, nc),
-                in_specs=[
-                    pl.BlockSpec((rb, 1, hd), lambda i, c, *_: (i, 0, 0)),
-                    pl.BlockSpec((1, rb, tc, 2 * hd), kv_map),
-                    pl.BlockSpec((1, rb, 2 * h, tc), sc_map),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((rb, 1, hd), lambda i, c, *_: (i, 0, 0)),
                 scratch_shapes=[
                     pltpu.VMEM((rb, h, hd), jnp.float32),
@@ -289,7 +314,7 @@ def packed_decode_attention_q8(
             ),
             interpret=interpret,
             **_params(2),
-        )(lens, qp, kv_all, scale_all)
+        )(*args)
         return out.reshape(b, h, 1, d)
 
     out = pl.pallas_call(
@@ -311,8 +336,20 @@ def packed_decode_attention_q8(
     return out.reshape(b, h, 1, d)
 
 
-def _packed_attn_kernel_q8_chunked(len_ref, q_ref, kv_ref, s_ref, o_ref,
-                                    acc_ref, m_ref, l_ref):
+def _packed_attn_kernel_q8_chunked(len_ref, start_ref, q_ref, kv_ref, s_ref,
+                                    o_ref, acc_ref, m_ref, l_ref):
+    _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, None, o_ref,
+                  acc_ref, m_ref, l_ref)
+
+
+def _packed_attn_kernel_q8_chunked_km(len_ref, start_ref, q_ref, kv_ref, s_ref,
+                                       km_ref, o_ref, acc_ref, m_ref, l_ref):
+    _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, km_ref, o_ref,
+                  acc_ref, m_ref, l_ref)
+
+
+def _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, km_ref, o_ref,
+                  acc_ref, m_ref, l_ref):
     """Chunked variant of :func:`_packed_attn_kernel_q8`: grid
     ``(B // RB, NC)`` with the T axis split into ``NC`` chunks and an online
     softmax carried in scratch across the chunk dimension.
@@ -330,6 +367,11 @@ def _packed_attn_kernel_q8_chunked(len_ref, q_ref, kv_ref, s_ref, o_ref,
     Scratch: ``acc [RB, H, HD] f32``, ``m/l [RB, H, 128] f32`` (the running
     max / normalizer broadcast across lanes — scalar-per-head state stored
     lane-replicated, the standard TPU flash-attention idiom).
+
+    ``start_ref [B]``: per-row first valid cache index (right-aligned ragged
+    prompts); ``km_ref [RB, TC]`` optional per-(row, slot) validity as an
+    additive 0/1 float mask (the fused-interleaved Chameleon CFG rows) —
+    both make this kernel feature-complete for the llama decode path.
     """
     _, rb, tc, hd2 = kv_ref.shape
     hd = hd2 // 2
@@ -345,8 +387,8 @@ def _packed_attn_kernel_q8_chunked(len_ref, q_ref, kv_ref, s_ref, o_ref,
     head_mask = (col // d == row).astype(jnp.float32)
     # global cache positions covered by this chunk (the block index the map
     # chose is min(c, n_valid-1), which equals c whenever compute runs)
+    i = pl.program_id(0)
     pos = c * tc + jax.lax.broadcasted_iota(jnp.int32, (h, tc), 1)
-    valid = pos < len_ref[0]
 
     @pl.when(c == 0)
     def _init():
@@ -357,6 +399,7 @@ def _packed_attn_kernel_q8_chunked(len_ref, q_ref, kv_ref, s_ref, o_ref,
     @pl.when(c < n_valid)
     def _chunk():
         for r in range(rb):
+            valid = (pos < len_ref[0]) & (pos >= start_ref[i * rb + r])
             qrow = q_ref[r].astype(jnp.float32)  # [1, HD]
             qbd = (head_mask * qrow).astype(jnp.bfloat16)  # [H, HD]
             s_raw = jax.lax.dot_general(
@@ -366,6 +409,9 @@ def _packed_attn_kernel_q8_chunked(len_ref, q_ref, kv_ref, s_ref, o_ref,
             )  # [H, TC]
             sc = s_raw * s_ref[0, r, :h].astype(jnp.float32) * scale
             sc = jnp.where(valid, sc, -1e30)
+            if km_ref is not None:
+                # additive 0/1 float mask (bf16 bool compares trip Mosaic)
+                sc = sc + (km_ref[r : r + 1, :].astype(jnp.float32) - 1.0) * jnp.float32(1e30)
             m_prev = m_ref[r, :, :1]  # [H, 1]
             m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
             corr = jnp.exp(m_prev - m_new)  # [H, 1]
