@@ -101,6 +101,16 @@ def run_shape(tag, b, h, t, d):
                     qq, cp.kv, cp.scale, 0, nv, chunk_t=128)), q)
         except Exception as e:  # noqa: BLE001
             print(f"  packed-chunk128-{tag}  FAILED: {type(e).__name__}: {str(e)[:120]}")
+    if t >= 1024:  # masked variant (Chameleon fused CFG rows + ragged starts)
+        km = jnp.asarray(rng.integers(0, 2, (b, t)).astype(np.float32) > 0)
+        st = jnp.asarray(rng.integers(0, 8, (b,)), jnp.int32)
+        try:
+            bench("packed-chunk-masked", loop(
+                lambda qq: packed_decode_attention_q8(
+                    qq, cp.kv, cp.scale, 0, jnp.int32(t), start=st,
+                    key_mask=km, chunk_t=128)), q)
+        except Exception as e:  # noqa: BLE001
+            print(f"  packed-chunk-masked  FAILED: {type(e).__name__}: {str(e)[:120]}")
     for rb in (8, 4, 2):
         if b % rb:
             continue

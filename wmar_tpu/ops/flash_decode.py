@@ -284,7 +284,7 @@ def packed_decode_attention_q8(
             return (layer, i, 0, jnp.minimum(c, pl.cdiv(lens[0], tc) - 1))
 
         def km_map(i, c, lens, *_):
-            return (i, jnp.minimum(c, pl.cdiv(lens[0], tc) - 1))
+            return (i, 0, jnp.minimum(c, pl.cdiv(lens[0], tc) - 1))
 
         in_specs = [
             pl.BlockSpec((rb, 1, hd), lambda i, c, *_: (i, 0, 0)),
@@ -294,8 +294,10 @@ def packed_decode_attention_q8(
         args = [lens, starts, qp, kv_all, scale_all]
         kernel = _packed_attn_kernel_q8_chunked
         if key_mask is not None:
-            in_specs.append(pl.BlockSpec((rb, tc), km_map))
-            args.append(jnp.asarray(key_mask, jnp.bfloat16))
+            # [B, 1, T]: the block's trailing dims become (1, tc) — a flat
+            # [rb, tc] block violates Mosaic's last-two-dims tiling rule
+            in_specs.append(pl.BlockSpec((rb, 1, tc), km_map))
+            args.append(jnp.asarray(key_mask, jnp.bfloat16)[:, None, :])
             kernel = _packed_attn_kernel_q8_chunked_km
 
         out = pl.pallas_call(
@@ -411,7 +413,7 @@ def _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, km_ref, o_ref,
             sc = jnp.where(valid, sc, -1e30)
             if km_ref is not None:
                 # additive 0/1 float mask (bf16 bool compares trip Mosaic)
-                sc = sc + (km_ref[r : r + 1, :].astype(jnp.float32) - 1.0) * jnp.float32(1e30)
+                sc = sc + (km_ref[r].astype(jnp.float32) - 1.0) * jnp.float32(1e30)
             m_prev = m_ref[r, :, :1]  # [H, 1]
             m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
             corr = jnp.exp(m_prev - m_new)  # [H, 1]
