@@ -119,6 +119,10 @@ def main():
         fl = bench(f"flash-{name}", cfg, params, cache_dtype, args.steps,
                    args.cache_len, True)
         print(f"  -> flash/{name}: {base/fl:.2f}x vs xla", flush=True)
+    # packed cache: routes through the chunked packed kernel regardless of
+    # the flash flag (llama._cache_attention dispatches on the cache type)
+    bench("packed-chunked", cfg, params, "packed", args.steps,
+          args.cache_len, False)
 
 
 if __name__ == "__main__":
