@@ -280,6 +280,12 @@ def main(argv=None):
                                "int8": jnp.int8, "int4": "int4",
                                "packed": "packed",
                                "packed4": "packed4"}[args.cache_dtype]
+        if (args.cache_dtype.startswith("packed") and len(jax.devices()) > 1
+                and jax.default_backend() == "tpu"):
+            print(f"WARNING: --cache_dtype {args.cache_dtype} on a multi-chip "
+                  "TPU backend falls back to the slow XLA dequant path (a "
+                  "bare pallas_call cannot consume a sharded cache) — use "
+                  "--cache_dtype int8 for multi-chip runs", file=sys.stderr)
     if args.weight_dtype == "int8":
         if hasattr(wrapper, "rar_params"):
             from wmar_tpu.models.rar import quantize_rar_params_int8
