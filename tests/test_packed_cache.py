@@ -130,6 +130,22 @@ def test_kvcache_zeros_dispatches_packed():
     assert c.max_len == T and c.n_heads == H and c.head_dim == D
 
 
+def _unzero_adaln(params, seed=9):
+    """RAR uses adaLN-zero init, which makes the attention branch contribute
+    NOTHING to logits at random init — any cache-quality agreement test
+    would pass vacuously. Give the gates small random values so the cache
+    actually flows into the outputs."""
+    rng = np.random.default_rng(seed)
+    out = dict(params)
+    out["blocks"] = [
+        {**blk, "adaln": {"w": jnp.asarray(
+            rng.standard_normal(blk["adaln"]["w"].shape), jnp.float32) * 0.05,
+            "b": blk["adaln"]["b"]}}
+        for blk in params["blocks"]
+    ]
+    return out
+
+
 def test_rar_decode_packed_vs_int8_cache():
     """End-to-end tiny RAR sampling: packed cache tokens == int8 cache tokens
     under greedy decode (same quantized values, same argmax)."""
@@ -140,7 +156,7 @@ def test_rar_decode_packed_vs_int8_cache():
                     image_seq_len=16, codebook_size=32, num_classes=4)
     vq_cfg = MaskGitVQConfig(resolution=8, hidden_channels=32, channel_mult=(1, 2),
                              num_res_blocks=1, z_channels=16, n_embed=32, embed_dim=16)
-    params = init_rar_params(jax.random.PRNGKey(0), cfg)
+    params = _unzero_adaln(init_rar_params(jax.random.PRNGKey(0), cfg))
     vq = MaskGitVQGAN(vq_cfg)
     vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
     gen = GenParams(temperature=0.0, guidance_scale=4.0)
@@ -222,7 +238,7 @@ def test_rar_decode_packed4_greedy_agreement():
                     image_seq_len=16, codebook_size=32, num_classes=4)
     vq_cfg = MaskGitVQConfig(resolution=8, hidden_channels=32, channel_mult=(1, 2),
                              num_res_blocks=1, z_channels=16, n_embed=32, embed_dim=16)
-    params = init_rar_params(jax.random.PRNGKey(0), cfg)
+    params = _unzero_adaln(init_rar_params(jax.random.PRNGKey(0), cfg))
     vq = MaskGitVQGAN(vq_cfg)
     vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
     gen = GenParams(temperature=0.0, guidance_scale=4.0)
