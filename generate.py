@@ -280,12 +280,6 @@ def main(argv=None):
                                "int8": jnp.int8, "int4": "int4",
                                "packed": "packed",
                                "packed4": "packed4"}[args.cache_dtype]
-        if (args.cache_dtype.startswith("packed") and len(jax.devices()) > 1
-                and jax.default_backend() == "tpu"):
-            print(f"WARNING: --cache_dtype {args.cache_dtype} on a multi-chip "
-                  "TPU backend falls back to the slow XLA dequant path (a "
-                  "bare pallas_call cannot consume a sharded cache) — use "
-                  "--cache_dtype int8 for multi-chip runs", file=sys.stderr)
     if args.weight_dtype == "int8":
         if hasattr(wrapper, "rar_params"):
             from wmar_tpu.models.rar import quantize_rar_params_int8
@@ -407,6 +401,16 @@ def main(argv=None):
         mesh = make_mesh(dp=dp, tp=args.tp, sp=args.sp, pp=args.pp,
                          devices=jax.devices()[: dp * n_par])
         print(f"sharded generation: dp={dp} tp={args.tp} sp={args.sp} pp={args.pp}")
+        if str(getattr(wrapper, "cache_dtype", "")).startswith("packed"):
+            # hand the mesh to the packed cache so decode attention runs the
+            # Pallas kernel per-chip under shard_map instead of falling back
+            # to the XLA dequant path (ops/flash_decode.py)
+            from wmar_tpu.engine.kvcache import CacheSpec
+
+            wrapper.cache_dtype = CacheSpec(
+                dtype=wrapper.cache_dtype, mesh=mesh,
+                dp_axis="dp" if dp > 1 else None,
+                tp_axis="tp" if args.tp > 1 else None)
         if args.sp > 1 or args.pp > 1:
             if not hasattr(wrapper, "llama_params"):
                 raise SystemExit("--sp/--pp > 1 is the chameleon7b prefill path")

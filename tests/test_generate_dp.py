@@ -53,6 +53,53 @@ def test_dp_cli_matches_single_device(tmp_path):
         assert np.isclose(p1, p2, rtol=1e-6)
 
 
+def test_dp_cli_packed_cache_matches_single_device(tmp_path):
+    """--dp 2 with the packed int8 cache: the CacheSpec plumbing hands the
+    mesh to the cache, decode attention runs the Pallas kernel per-shard
+    under shard_map, and tokens must still be identical to --dp 1 (whose
+    single-device kernel does the same per-row math)."""
+    import generate
+
+    argv = ARGV + ["--cache_dtype", "packed"]
+    generate.main(argv + ["--outdir", str(tmp_path / "dp1"), "--dp", "1"])
+    generate.main(argv + ["--outdir", str(tmp_path / "dp2"), "--dp", "2"])
+    recs1, codes1 = _collect(str(tmp_path / "dp1"))
+    recs2, codes2 = _collect(str(tmp_path / "dp2"))
+    assert codes1 == codes2
+    for rel, (p1, l1) in recs1.items():
+        p2, l2 = recs2[rel]
+        assert l1 == l2
+        assert np.isclose(p1, p2, rtol=1e-6)
+
+
+def test_tp_cli_packed_cache_chameleon(tmp_path):
+    """--tp 2 with the packed cache on the tiny chameleon t2i path: the
+    grouped (tp_groups=2) lane layout must reproduce the replicated plain
+    packed run token-for-token."""
+    import generate
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a red car\nthe sea\n")
+    argv = [
+        "--tiny", "--model", "chameleon7b",
+        "--conditioning", str(prompts),
+        "--num_samples_per_conditioning", "1",
+        "--batch_size", "2",
+        "--wm_method", "gentime", "--wm_delta", "4.0",
+        "--seed", "7", "--no_augs",
+        "--cache_dtype", "packed",
+    ]
+    generate.main(argv + ["--outdir", str(tmp_path / "tp1")])
+    generate.main(argv + ["--outdir", str(tmp_path / "tp2"), "--tp", "2"])
+    recs1, codes1 = _collect(str(tmp_path / "tp1"))
+    recs2, codes2 = _collect(str(tmp_path / "tp2"))
+    assert codes1 == codes2
+    for rel, (p1, l1) in recs1.items():
+        p2, l2 = recs2[rel]
+        assert l1 == l2
+        assert np.isclose(p1, p2, rtol=1e-6)
+
+
 def test_tp_cli_chameleon_matches_single_device(tmp_path):
     """--tp 2 (megatron param sharding from the CLI) == replicated run,
     through the tiny chameleon t2i path with text-prompt conditionings."""

@@ -40,25 +40,32 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
         and q.shape[2] == 1
         and q.shape[1] == cache.n_heads  # no GQA head-repeat inside the kernel
         and masks_ok
-        # multi-chip TPU: a bare pallas_call has no partitioning rule, so a
-        # dp-sharded cache would be replicated (all-gathered) at the call —
-        # shard over chips with the XLA path instead. Interpret mode (tests)
-        # lowers to plain jax ops, which shard fine.
-        and (interpret or jax.device_count() == 1)
+        and not (masked and isinstance(cache, Packed4QuantKVCache))
     ):
-        from wmar_tpu.ops.flash_decode import (
-            packed4_decode_attention,
-            packed_decode_attention_q8,
-        )
+        mesh = cache.mesh
+        if mesh is not None and (cache.dp_axis or cache.tp_axis):
+            # sharded serving: shard_map localizes the kernel per chip (a
+            # bare pallas_call would all-gather the sharded cache instead)
+            from wmar_tpu.ops.flash_decode import sharded_packed_decode_attention
 
-        if isinstance(cache, Packed4QuantKVCache):
-            if masked:
-                pass  # packed4 has no masked path; fall through to XLA
-            else:
+            return sharded_packed_decode_attention(
+                q, cache, layer, valid_len, start=start, key_mask=key_mask,
+                interpret=interpret)
+        # single-chip path. The grouped (tp_groups > 1) layout is only a
+        # valid kernel input per-shard, and a dp-sharded cache with no mesh
+        # context would be replicated (all-gathered) at the un-partitioned
+        # pallas_call — both fall through to the XLA path below. Interpret
+        # mode (tests) lowers to plain jax ops, which shard fine.
+        if cache.tp_groups == 1 and (interpret or jax.device_count() == 1):
+            from wmar_tpu.ops.flash_decode import (
+                packed4_decode_attention,
+                packed_decode_attention_q8,
+            )
+
+            if isinstance(cache, Packed4QuantKVCache):
                 return packed4_decode_attention(
                     q, cache.kv, cache.scale, layer, valid_len,
                     interpret=interpret)
-        else:
             return packed_decode_attention_q8(
                 q, cache.kv, cache.scale, layer, valid_len,
                 start=start, key_mask=key_mask, interpret=interpret)

@@ -10,9 +10,29 @@ in-place donation inside the scan.
 
 from __future__ import annotations
 
+import dataclasses
+
 import flax.struct
 import jax
 import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheSpec:
+    """A ``cache_dtype`` value that also carries multi-chip sharding context.
+
+    Wrappers thread ``cache_dtype`` verbatim into :meth:`KVCache.zeros`, so a
+    spec in that slot is how the entry points (``generate.py --dp/--tp``)
+    hand the mesh to the packed caches without touching every constructor:
+    the packed decode kernels then run per-chip under ``shard_map``
+    (:func:`wmar_tpu.ops.flash_decode.sharded_packed_decode_attention`)
+    instead of falling back to the XLA dequant path.
+    """
+
+    dtype: object = "packed"
+    mesh: object = None
+    dp_axis: object = None
+    tp_axis: object = None
 
 
 @flax.struct.dataclass
@@ -26,7 +46,11 @@ class KVCache:
     v: jnp.ndarray
 
     @classmethod
-    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int, dtype=jnp.float32):
+    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int, dtype=jnp.float32,
+              mesh=None, dp_axis=None, tp_axis=None):
+        if isinstance(dtype, CacheSpec):
+            mesh, dp_axis, tp_axis = dtype.mesh, dtype.dp_axis, dtype.tp_axis
+            dtype = dtype.dtype
         if dtype == jnp.int8:
             # decode attention is cache-read bandwidth bound (PERFORMANCE.md);
             # int8 halves the bytes vs bf16 at ~1/254 quantization noise
@@ -34,9 +58,13 @@ class KVCache:
         if dtype in ("int4", getattr(jnp, "int4", "int4")):
             return Quant4KVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
         if dtype == "packed":
-            return PackedQuantKVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
+            return PackedQuantKVCache.zeros(n_layers, batch, n_heads, max_len,
+                                            head_dim, mesh=mesh, dp_axis=dp_axis,
+                                            tp_axis=tp_axis)
         if dtype == "packed4":
-            return Packed4QuantKVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
+            return Packed4QuantKVCache.zeros(n_layers, batch, n_heads, max_len,
+                                             head_dim, mesh=mesh, dp_axis=dp_axis,
+                                             tp_axis=tp_axis)
         shape = (n_layers, batch, n_heads, max_len, head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
@@ -163,6 +191,20 @@ class PackedQuantKVCache:
     decode kernel (:func:`wmar_tpu.ops.flash_decode.packed_decode_attention_q8`)
     wants:
 
+    **Tensor parallelism** (``tp_groups > 1``): the plain layout's combined
+    K|V lane axis cannot shard over heads — slicing ``2*H*D`` lanes into tp
+    parts gives shard 0 all of K and shard 1 all of V. With ``tp_groups=g``
+    the lanes are instead ordered ``[K_g0 | V_g0 | K_g1 | V_g1 | ...]``
+    where group ``i`` holds heads ``[i*H/g, (i+1)*H/g)`` (scale rows
+    likewise), so a lane axis sharded g-ways hands every chip a *valid local
+    packed cache* over its own heads and the existing kernel runs unchanged
+    inside ``shard_map`` (:func:`wmar_tpu.ops.flash_decode.sharded_packed_decode_attention`).
+    ``g=1`` is byte-identical to the plain layout. The optional ``mesh`` /
+    ``dp_axis`` / ``tp_axis`` statics carry the sharding context the decode
+    dispatcher needs to build that ``shard_map`` — the TPU analogue of the
+    reference pinning its paged fp16 cache to each GPU rank
+    (``deps/chameleon/inference/transformer.py:159,220``).
+
     * one ``[RB, T, 2*H*D]`` tile per grid program = full-width contiguous
       DMAs, versus the ``[B, H, T, D]`` layout whose per-(b, h) ``[T, D]``
       slices are too narrow to saturate the DMA engines at image-model head
@@ -184,13 +226,21 @@ class PackedQuantKVCache:
     kv: jnp.ndarray
     scale: jnp.ndarray
     head_dim: int = flax.struct.field(pytree_node=False)
+    tp_groups: int = flax.struct.field(pytree_node=False, default=1)
+    mesh: object = flax.struct.field(pytree_node=False, default=None)
+    dp_axis: object = flax.struct.field(pytree_node=False, default=None)
+    tp_axis: object = flax.struct.field(pytree_node=False, default=None)
 
     @classmethod
-    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int):
+    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int,
+              head_dim: int, mesh=None, dp_axis=None, tp_axis=None):
+        tp_groups = mesh.shape[tp_axis] if (mesh is not None and tp_axis) else 1
+        assert n_heads % tp_groups == 0, (n_heads, tp_groups)
         return cls(
             kv=jnp.zeros((n_layers, batch, max_len, 2 * n_heads * head_dim), jnp.int8),
             scale=jnp.zeros((n_layers, batch, 2 * n_heads, max_len), jnp.bfloat16),
-            head_dim=head_dim,
+            head_dim=head_dim, tp_groups=tp_groups,
+            mesh=mesh, dp_axis=dp_axis, tp_axis=tp_axis,
         )
 
     @property
@@ -206,19 +256,23 @@ class PackedQuantKVCache:
         kq, ks = QuantKVCache._quantize(k_new)  # [B, H, t, D], [B, H, t]
         vq, vs = QuantKVCache._quantize(v_new)
         b, h, t, d = kq.shape
-        payload = jnp.concatenate(
-            [kq.transpose(0, 2, 1, 3).reshape(b, t, h * d),
-             vq.transpose(0, 2, 1, 3).reshape(b, t, h * d)], axis=-1)
-        scales = jnp.concatenate([ks, vs], axis=1)  # [B, 2H, t]
+        g = self.tp_groups
+        hl = h // g
+        # per-group [K_gi | V_gi] lane blocks (g=1: plain [K | V])
+        kt = kq.transpose(0, 2, 1, 3).reshape(b, t, g, hl * d)
+        vt = vq.transpose(0, 2, 1, 3).reshape(b, t, g, hl * d)
+        payload = jnp.concatenate([kt, vt], axis=-1).reshape(b, t, 2 * h * d)
+        scales = jnp.concatenate(
+            [ks.reshape(b, g, hl, t), vs.reshape(b, g, hl, t)], axis=2
+        ).reshape(b, 2 * h, t)
         pos = jnp.asarray(pos, jnp.int32)
-        return PackedQuantKVCache(
+        return self.replace(
             kv=jax.lax.dynamic_update_slice(
                 self.kv, payload[None],
                 (jnp.int32(layer), jnp.int32(0), pos, jnp.int32(0))),
             scale=jax.lax.dynamic_update_slice(
                 self.scale, scales[None],
                 (jnp.int32(layer), jnp.int32(0), jnp.int32(0), pos)),
-            head_dim=self.head_dim,
         )
 
     def layer(self, layer: int):
@@ -228,29 +282,28 @@ class PackedQuantKVCache:
         b, t, hd2 = self.kv.shape[1:]
         h = self.n_heads
         d = self.head_dim
+        g = self.tp_groups
+        hl = h // g
 
-        def unpack(payload, scale):  # [B, T, H*D], [B, H, T]
+        def unpack(payload, scale):  # [B, T, g, Hl, D], [B, g, Hl, T]
             x = payload.reshape(b, t, h, d).astype(jnp.bfloat16).transpose(0, 2, 1, 3)
-            return x * scale[..., None]
+            return x * scale.reshape(b, h, t)[..., None]
 
-        hd = hd2 // 2
+        pay = self.kv[layer].reshape(b, t, g, 2, hl, d)
+        sc = self.scale[layer].reshape(b, g, 2, hl, t)
         return (
-            unpack(self.kv[layer, :, :, :hd], self.scale[layer, :, :h]),
-            unpack(self.kv[layer, :, :, hd:], self.scale[layer, :, h:]),
+            unpack(pay[:, :, :, 0], sc[:, :, 0]),
+            unpack(pay[:, :, :, 1], sc[:, :, 1]),
         )
 
     def slice_to(self, t: int) -> "PackedQuantKVCache":
-        return PackedQuantKVCache(
-            kv=self.kv[:, :, :t], scale=self.scale[..., :t],
-            head_dim=self.head_dim,
-        )
+        return self.replace(kv=self.kv[:, :, :t], scale=self.scale[..., :t])
 
     def merge_prefix(self, prefix: "PackedQuantKVCache") -> "PackedQuantKVCache":
         zeros4 = (jnp.int32(0),) * 4
-        return PackedQuantKVCache(
+        return self.replace(
             kv=jax.lax.dynamic_update_slice(self.kv, prefix.kv, zeros4),
             scale=jax.lax.dynamic_update_slice(self.scale, prefix.scale, zeros4),
-            head_dim=self.head_dim,
         )
 
 
@@ -271,18 +324,31 @@ class Packed4QuantKVCache:
 
     kv: uint8 ``[L, B, T, H*D]``; scale: bf16 ``[L, B, 2*H, T]`` (rows
     ``[:H]`` = K scales, ``[H:]`` = V).
+
+    The nibble payload's lane axis is head-major, so it tensor-parallel
+    shards as-is; only the scale rows need the grouped ``[Ks_g0 | Vs_g0 |
+    Ks_g1 | ...]`` order (``tp_groups``, see :class:`PackedQuantKVCache`)
+    for a tp-sharded row axis to hand each chip its local ``[Ks | Vs]``.
     """
 
     kv: jnp.ndarray
     scale: jnp.ndarray
     head_dim: int = flax.struct.field(pytree_node=False)
+    tp_groups: int = flax.struct.field(pytree_node=False, default=1)
+    mesh: object = flax.struct.field(pytree_node=False, default=None)
+    dp_axis: object = flax.struct.field(pytree_node=False, default=None)
+    tp_axis: object = flax.struct.field(pytree_node=False, default=None)
 
     @classmethod
-    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int):
+    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int,
+              head_dim: int, mesh=None, dp_axis=None, tp_axis=None):
+        tp_groups = mesh.shape[tp_axis] if (mesh is not None and tp_axis) else 1
+        assert n_heads % tp_groups == 0, (n_heads, tp_groups)
         return cls(
             kv=jnp.zeros((n_layers, batch, max_len, n_heads * head_dim), jnp.uint8),
             scale=jnp.zeros((n_layers, batch, 2 * n_heads, max_len), jnp.bfloat16),
-            head_dim=head_dim,
+            head_dim=head_dim, tp_groups=tp_groups,
+            mesh=mesh, dp_axis=dp_axis, tp_axis=tp_axis,
         )
 
     @property
@@ -305,18 +371,21 @@ class Packed4QuantKVCache:
         kq, ks = self._quantize4(k_new)  # [B, H, t, D], [B, H, t]
         vq, vs = self._quantize4(v_new)
         b, h, t, d = kq.shape
+        g = self.tp_groups
+        hl = h // g
         payload = kq | (vq << 4)  # K low nibble, V high
         payload = payload.transpose(0, 2, 1, 3).reshape(b, t, h * d)
-        scales = jnp.concatenate([ks, vs], axis=1)  # [B, 2H, t]
+        scales = jnp.concatenate(
+            [ks.reshape(b, g, hl, t), vs.reshape(b, g, hl, t)], axis=2
+        ).reshape(b, 2 * h, t)
         pos = jnp.asarray(pos, jnp.int32)
-        return Packed4QuantKVCache(
+        return self.replace(
             kv=jax.lax.dynamic_update_slice(
                 self.kv, payload[None],
                 (jnp.int32(layer), jnp.int32(0), pos, jnp.int32(0))),
             scale=jax.lax.dynamic_update_slice(
                 self.scale, scales[None],
                 (jnp.int32(layer), jnp.int32(0), jnp.int32(0), pos)),
-            head_dim=self.head_dim,
         )
 
     def layer(self, layer: int):
@@ -324,29 +393,28 @@ class Packed4QuantKVCache:
         b, t, hd = self.kv.shape[1:]
         h = self.n_heads
         d = self.head_dim
+        g = self.tp_groups
+        hl = h // g
         u = self.kv[layer]
+        sc = self.scale[layer].reshape(b, g, 2, hl, t)
 
-        def unpack(nib, scale):  # nib [B, T, H*D] in [1,15], scale [B, H, T]
+        def unpack(nib, scale):  # nib [B, T, H*D] in [1,15], scale [B, g, Hl, T]
             x = (nib.astype(jnp.bfloat16) - 8.0).reshape(b, t, h, d).transpose(0, 2, 1, 3)
-            return x * scale[..., None]
+            return x * scale.reshape(b, h, t)[..., None]
 
         return (
-            unpack(u & 0xF, self.scale[layer, :, :h]),
-            unpack(u >> 4, self.scale[layer, :, h:]),
+            unpack(u & 0xF, sc[:, :, 0]),
+            unpack(u >> 4, sc[:, :, 1]),
         )
 
     def slice_to(self, t: int) -> "Packed4QuantKVCache":
-        return Packed4QuantKVCache(
-            kv=self.kv[:, :, :t], scale=self.scale[..., :t],
-            head_dim=self.head_dim,
-        )
+        return self.replace(kv=self.kv[:, :, :t], scale=self.scale[..., :t])
 
     def merge_prefix(self, prefix: "Packed4QuantKVCache") -> "Packed4QuantKVCache":
         zeros4 = (jnp.int32(0),) * 4
-        return Packed4QuantKVCache(
+        return self.replace(
             kv=jax.lax.dynamic_update_slice(self.kv, prefix.kv, zeros4),
             scale=jax.lax.dynamic_update_slice(self.scale, prefix.scale, zeros4),
-            head_dim=self.head_dim,
         )
 
 

@@ -574,6 +574,80 @@ def _packed_dma_probe(q, kv_all, scale_all, layer, rows_per_block: int = 4,
     return out.reshape(b, h, 1, d)
 
 
+def sharded_packed_decode_attention(
+    q: jnp.ndarray,
+    cache,
+    layer,
+    valid_len,
+    start=None,
+    key_mask=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed-cache decode attention on a MULTI-CHIP mesh via ``shard_map``.
+
+    A bare ``pallas_call`` has no SPMD partitioning rule, so under ``jit``
+    with sharded operands XLA would all-gather the whole cache at the custom
+    call — the reason the packed kernels were single-chip-only until now.
+    ``shard_map`` localizes instead: each chip runs the unchanged kernel on
+    its own shard, with zero collectives (decode attention is pointwise over
+    both batch and heads).
+
+    * ``dp`` shards the batch: every chip sees a ``[B/dp, ...]`` packed
+      cache — valid as-is, any ``tp_groups``-free layout works.
+    * ``tp`` shards heads: requires the cache built with
+      ``tp_groups == mesh.shape[tp]`` (grouped ``[K_g|V_g]`` lane order, see
+      :class:`~wmar_tpu.engine.kvcache.PackedQuantKVCache`) so each chip's
+      lane slice is a self-contained packed cache over its local heads.
+
+    The mesh/axis context rides on the cache (``cache.mesh`` etc., set at
+    ``KVCache.zeros``). ``q [B, H, 1, D]`` global; returns ``[B, H, 1, D]``
+    with the same sharding as ``q``. The reference reaches the same end by
+    pinning one paged-cache worker per GPU rank and all-reducing activations
+    (``deps/chameleon/inference/transformer.py:159,220``); here the per-chip
+    locality is declared and XLA keeps activations sharded.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from wmar_tpu.engine.kvcache import Packed4QuantKVCache
+
+    mesh = cache.mesh
+    dp, tp = cache.dp_axis, cache.tp_axis
+    ntp = mesh.shape[tp] if tp else 1
+    if cache.tp_groups != ntp:
+        raise ValueError(
+            f"cache tp_groups={cache.tp_groups} != mesh tp={ntp}; build the "
+            "cache with KVCache.zeros(..., mesh=mesh, tp_axis=...)")
+    is4 = isinstance(cache, Packed4QuantKVCache)
+    vl = jnp.full((1,), valid_len, jnp.int32)
+
+    has_start = start is not None
+    has_km = key_mask is not None
+    in_specs = [P(dp, tp, None, None), P(None, dp, None, tp),
+                P(None, dp, tp, None), P()]
+    args = [q, cache.kv, cache.scale, vl]
+    if has_start:
+        in_specs.append(P(dp))
+        args.append(jnp.asarray(start, jnp.int32))
+    if has_km:
+        in_specs.append(P(dp, None))
+        args.append(jnp.asarray(key_mask))
+
+    def body(q_l, kv_l, s_l, vl_l, *rest):
+        st = rest[0] if has_start else None
+        km = rest[-1] if has_km else None
+        if is4:
+            return packed4_decode_attention(
+                q_l, kv_l, s_l, layer, vl_l[0], interpret=interpret)
+        return packed_decode_attention_q8(
+            q_l, kv_l, s_l, layer, vl_l[0], start=st, key_mask=km,
+            interpret=interpret)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=P(dp, tp, None, None), check_vma=False,
+    )(*args)
+
+
 def _packed4_attn_kernel(len_ref, q_ref, kv_ref, s_ref, o_ref):
     """int4 variant of :func:`_packed_attn_kernel_q8`: the block is ONE
     ``[1, RB, T, H*D]`` uint8 tile whose low nibbles are K and high nibbles

@@ -150,13 +150,23 @@ def kvcache_tp_spec() -> P:
 
 
 def kvcache_tp_specs(cache):
-    """Head-sharded PartitionSpec pytree matching ``cache`` — works for both
-    the float :class:`~wmar_tpu.engine.kvcache.KVCache` and the int8
+    """Head-sharded PartitionSpec pytree matching ``cache`` — works for the
+    float :class:`~wmar_tpu.engine.kvcache.KVCache`, the int8
     :class:`~wmar_tpu.engine.kvcache.QuantKVCache` (whose per-token scales
-    are [L, B, H, T] and shard over the same head axis)."""
-    from wmar_tpu.engine.kvcache import KVCache, QuantKVCache
+    are [L, B, H, T] and shard over the same head axis), and the packed
+    layouts (built with ``tp_groups == tp``, whose grouped lane/scale-row
+    axes shard directly)."""
+    from wmar_tpu.engine.kvcache import (
+        KVCache,
+        Packed4QuantKVCache,
+        PackedQuantKVCache,
+        QuantKVCache,
+    )
 
     p5 = P(None, None, "tp", None, None)
+    if isinstance(cache, (PackedQuantKVCache, Packed4QuantKVCache)):
+        return cache.replace(kv=P(None, None, None, "tp"),
+                             scale=P(None, None, "tp", None))
     if isinstance(cache, QuantKVCache):
         p4 = P(None, None, "tp", None)
         return QuantKVCache(k=p5, v=p5, k_scale=p4, v_scale=p4)
