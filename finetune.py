@@ -55,6 +55,13 @@ def get_parser():
     p.add_argument("--lpips_weights", type=str, default=None)
     p.add_argument("--resume", action="store_true",
                    help="auto-resume from <outdir>/checkpoint.msgpack")
+    p.add_argument("--val_percent", type=float, default=0.05,
+                   help="held-out fraction for the per-epoch validation "
+                        "(reference finetune.py:196)")
+    p.add_argument("--val_batches", type=int, default=0,
+                   help="cap validation batches per (aug,param) cell (0 = all)")
+    p.add_argument("--no_validate", action="store_true",
+                   help="skip the per-epoch validation sweep")
     return p
 
 
@@ -138,7 +145,16 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
     adapter, vocab, tokens = build_adapter(args)
     codes = load_codes(args, vocab, tokens)
-    print(f"dataset: {codes.shape[0]} rows of {codes.shape[1]} tokens")
+    # Train/val split (the reference holds out 5% with a fixed seed,
+    # finetune.py:195-205).
+    val_rows = int(round(codes.shape[0] * args.val_percent)) if not args.no_validate else 0
+    if val_rows > 0:
+        perm0 = np.random.default_rng(1).permutation(codes.shape[0])
+        codes_val = codes[perm0[:val_rows]]
+        codes = codes[perm0[val_rows:]]
+    else:
+        codes_val = codes[:0]
+    print(f"dataset: {codes.shape[0]} train / {codes_val.shape[0]} val rows of {codes.shape[1]} tokens")
 
     n_dev = jax.local_device_count()
     mesh = make_mesh(dp=n_dev, tp=1)
@@ -178,7 +194,62 @@ def main(argv=None):
         names = ["warmup", "weak", "medium", "strong"]
         levels = [n for n, e in zip(names, schedule) for _ in range(e)]
 
+    from wmar_tpu.finetune import expand_level, make_val_step
+    from wmar_tpu.finetune.rcc import AugBranch  # noqa: F401 (typing aid)
+    from wmar_tpu.utils.logging import encoder_drift
+
     steps = {}
+    val_steps = {}
+
+    def run_validation(epoch, level, idem_w, trainable):
+        """Per-epoch validation sweep: Identity + each (aug, param) of the
+        current curriculum level at p=1.0, reference finetune.py:73-128."""
+        import dataclasses as _dc
+
+        if codes_val.shape[0] == 0:
+            return {}
+        cfg_e = _dc.replace(cfg, idem_weight=idem_w)
+        cells = [None] + expand_level(level)
+        n_val = max(1, codes_val.shape[0] // global_bs) if codes_val.shape[0] >= global_bs else 1
+        if args.val_batches:
+            n_val = min(n_val, args.val_batches)
+        out = {}
+        for branch in cells:
+            key_name = "Identity_0" if branch is None else f"{branch.name}_{branch.param}"
+            skey = (key_name, idem_w)
+            if skey not in val_steps:
+                val_steps[skey] = jax.jit(make_val_step(adapter, cfg_e, branch, perceptual))
+            vfn = val_steps[skey]
+            acc, cnt = {}, 0
+            for bi in range(n_val):
+                vb = codes_val[bi * global_bs : (bi + 1) * global_bs]
+                if vb.shape[0] == 0:
+                    break
+                # pad the ragged tail up to a full batch so the jit cache
+                # keeps one entry, then weight by true rows
+                rows = vb.shape[0]
+                if rows < global_bs:
+                    reps = -(-global_bs // rows)  # tile up to a full batch
+                    vb = np.concatenate([vb] * reps)[:global_bs]
+                vkey = jax.random.PRNGKey(args.seed + 777 + epoch)
+                m = vfn(trainable, shard_batch(mesh, jnp.asarray(vb)), vkey)
+                for k, v in m.items():
+                    acc[k] = acc.get(k, 0.0) + float(v) * rows
+                cnt += rows
+            stats = {k: v / max(cnt, 1) for k, v in acc.items()}
+            out[key_name] = stats
+            print(
+                f"Validation {key_name}| Loss: {stats['loss']:.5f}"
+                f"| IdemLoss: {stats['idem_loss']:.5f}"
+                f"| VQGANLoss: {stats['vqgan_loss']:.5f}"
+                f"| L0: {stats['l0']:.5f}"
+            )
+        enc_d = encoder_drift(trainable["watermark_encoder"], orig_trainable["watermark_encoder"])
+        dec_d = encoder_drift(trainable["decoder"], orig_trainable["decoder"])
+        print(f"[Val] ENC L2 Distance: {enc_d:.5f}, DEC L2 Distance: {dec_d:.5f}")
+        out["drift"] = {"enc": enc_d, "dec": dec_d}
+        return out
+
     rng = np.random.default_rng(args.seed)
     t_start = time.time()
     history = []
@@ -199,6 +270,8 @@ def main(argv=None):
                     make_train_step(adapter, cfg_e, level, optimizer, perceptual)
                 )
             step_fn = steps[skey]
+            # Validation first, like the reference (finetune.py:388-392).
+            val_stats = run_validation(epoch, level, idem_w, state.trainable)
             perm = rng.permutation(codes.shape[0])
             epoch_metrics = []
             for bi in range(steps_per_epoch):
@@ -208,8 +281,13 @@ def main(argv=None):
                 state, metrics = step_fn(state, batch, key)
                 if bi % args.log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
+                    m["enc_dist"] = encoder_drift(
+                        state.trainable["watermark_encoder"], orig_trainable["watermark_encoder"])
+                    m["dec_dist"] = encoder_drift(
+                        state.trainable["decoder"], orig_trainable["decoder"])
                     epoch_metrics.append(m)
                     print(f"epoch {epoch} [{level}] step {bi}/{steps_per_epoch}: {m}")
+                    print(f"ENC L2 Distance: {m['enc_dist']:.5f}, DEC L2 Distance: {m['dec_dist']:.5f}")
             # Per-epoch checkpoints: full weights + deltas (the published format).
             ckpt.save_pytree(os.path.join(args.outdir, f"epoch{epoch}_trainable.msgpack"), state.trainable)
             ckpt.save_delta(
@@ -222,10 +300,19 @@ def main(argv=None):
                 state.trainable["decoder"],
                 orig_trainable["decoder"],
             )
-            history.append({"epoch": epoch, "level": level, "metrics": epoch_metrics})
+            history.append({"epoch": epoch, "level": level, "metrics": epoch_metrics,
+                            "validation": val_stats})
             ckpt.save_pytree(resume_path, state)
             with open(meta_path, "w") as f:
                 json.dump({"next_epoch": epoch + 1}, f)
+        # Final validation (reference finetune.py:509-515).
+        if levels and codes_val.shape[0]:
+            print("Done! Doing final validation.")
+            final_idem = args.idempotence_loss_weight * (
+                args.idempotence_loss_weight_factor ** (len(levels) - 1))
+            final_val = run_validation(len(levels), levels[-1], final_idem, state.trainable)
+            history.append({"epoch": len(levels), "level": "final", "metrics": [],
+                            "validation": final_val})
     with open(os.path.join(args.outdir, "history.json"), "w") as f:
         json.dump({"wall_s": time.time() - t_start, "epochs": history}, f, indent=1)
     print(f"done in {time.time() - t_start:.1f}s")

@@ -155,3 +155,33 @@ def test_finetune_cli_resume(tmp_path):
     # one epoch ran before resume, one after (steps/epoch depends on the
     # device count, so assert epochs via the meta + monotone step count)
     assert int(state.step) >= 2
+
+
+def test_finetune_cli_validation(tmp_path):
+    """The CLI runs the reference-style per-epoch validation sweep
+    (finetune.py:73-128,388-392): history.json carries per-cell stats
+    (loss/idem/l0) and ENC/DEC drift, per epoch plus a final sweep."""
+    import json as _json
+
+    import finetune
+
+    finetune.main([
+        "--tiny", "--synthetic", "10", "--augs", "none",
+        "--batch_size_per_device", "2", "--lr", "1e-4",
+        "--outdir", str(tmp_path), "--log_every", "100",
+        "--nb_epochs", "2", "--val_percent", "0.2", "--val_batches", "1",
+    ])
+    hist = _json.loads((tmp_path / "history.json").read_text())["epochs"]
+    # 2 train epochs + 1 final validation entry
+    assert len(hist) == 3 and hist[-1]["level"] == "final"
+    for entry in hist:
+        val = entry["validation"]
+        assert "Identity_0" in val and "drift" in val
+        cell = val["Identity_0"]
+        for k in ("loss", "idem_loss", "vqgan_loss", "l0"):
+            assert np.isfinite(cell[k])
+        assert 0.0 <= cell["l0"] <= 1.0
+        assert val["drift"]["enc"] >= 0.0 and val["drift"]["dec"] >= 0.0
+    # training logs now include the reference's ENC/DEC drift monitors
+    m = hist[0]["metrics"][0]
+    assert "enc_dist" in m and "dec_dist" in m

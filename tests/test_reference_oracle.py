@@ -32,7 +32,10 @@ def ref_mod():
         fake.logger = _L()
         sys.modules["loguru"] = fake
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        # APPEND, not insert: /root/reference contains generate.py / utils /
+        # etc. that would otherwise shadow this repo's modules for every test
+        # imported after this one (see test_reference_module_oracle.py).
+        sys.path.append(REF)
     from wmar.watermarking import gentime_watermark as g
 
     return g

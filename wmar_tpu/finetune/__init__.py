@@ -11,6 +11,7 @@ from wmar_tpu.finetune.rcc import (
     init_state,
     make_optimizer,
     make_train_step,
+    make_val_step,
     validation_l0,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "init_state",
     "make_optimizer",
     "make_train_step",
+    "make_val_step",
     "validation_l0",
 ]

@@ -338,6 +338,51 @@ def init_state(adapter, optimizer) -> RCCState:
     )
 
 
+def make_val_step(
+    adapter,
+    cfg: RCCConfig,
+    branch: Optional[AugBranch],
+    perceptual: Optional[PerceptualLoss] = None,
+):
+    """Jittable validation pass for one (aug, param) cell — the reference's
+    ``validate()`` (``finetune.py:73-128``) runs each augmentation of the
+    current epoch's curriculum with p=1.0 (plus Identity) and reports
+    loss / idem loss / vqgan (drift) loss / token-mismatch L0.
+
+    ``branch=None`` is the Identity cell."""
+    perceptual = perceptual or PerceptualLoss()
+    side = adapter.latent_side
+
+    def val_step(trainable, codes, rng):
+        z_q = adapter.lookup(codes)
+        xrec = adapter.decode(trainable["decoder"], z_q)
+        xrec_orig = adapter.decode_orig(z_q)
+        rec_l1 = jnp.abs(xrec_orig - xrec).mean()
+        p_loss = perceptual(xrec_orig, xrec).mean()
+        x01 = xrec / 2.0 + 0.5
+        if branch is not None:
+            x01 = jnp.clip(branch.fn(x01, rng), 0.0, 1.0)
+            mask = jnp.asarray(_latent_mask(branch, side))
+        else:
+            mask = jnp.ones((side, side), jnp.float32)
+        zrec = adapter.encode_latent(trainable["watermark_encoder"], x01 * 2.0 - 1.0)
+        sq = (z_q - zrec) ** 2
+        m = mask[None, :, :, None]
+        idem = (sq * m).sum() / (m.sum() * sq.shape[0] * sq.shape[-1])
+        new_codes = adapter.nearest_codes(zrec)
+        l0 = (new_codes != codes).astype(jnp.float32).mean()
+        loss = rec_l1 + p_loss + cfg.idem_weight * idem
+        return {
+            "loss": loss,
+            "idem_loss": idem,
+            "vqgan_loss": rec_l1 + p_loss,
+            "vqgan_rec_loss": rec_l1,
+            "l0": l0,
+        }
+
+    return val_step
+
+
 def validation_l0(adapter, trainable, codes, aug_fn=None, rng=None):
     """Decode -> (aug) -> re-encode -> token mismatch fraction (the
     reference's validate(), ``finetune.py:73-128``)."""
