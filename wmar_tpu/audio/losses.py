@@ -1,0 +1,445 @@
+"""Audio loss bank for Mimi RCC finetuning (jittable JAX).
+
+Counterpart of the reference's ``wmar_audio/training/losses/`` package:
+
+- :class:`SISNR`                      (``losses/sisnr.py:39-97``)
+- :func:`stft_losses` / :class:`STFTLoss` / :class:`MRSTFTLoss`
+                                      (``losses/stftloss.py:87-207``)
+- :class:`MelSpectrogramL1Loss` / :class:`MultiScaleMelSpectrogramLoss`
+                                      (``losses/specloss.py:18-149``)
+- :class:`TFLoudnessRatio`            (``losses/loudnessloss.py:152-204``)
+- :func:`get_audio_loss` / :func:`get_code_loss`
+                                      (``finetune_mimi.py:91-117``)
+
+All losses take ``(pred, target)`` in this package's native audio layout
+``[B, T, C]`` (mono ``C=1``) and return a scalar. Losses are plain callables
+built from static config so they close over precomputed host-side constants
+(windows, mel filterbanks, FIR band-split kernels) and stay jit-friendly.
+
+TPU-native notes: the reference's torch.stft becomes framed ``jnp.fft.rfft``
+(static frame counts); the K-weighting biquads of ``basic_loudness`` (IIR)
+are applied in the frequency domain (exact transfer function on the FFT
+grid — circular rather than linear convolution, a boundary-only
+approximation) because a per-sample ``lax.scan`` over 240k samples would
+serialize the TPU; julius' mel-spaced FIR band split is reproduced with
+windowed-sinc lowpass banks evaluated as one grouped convolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = float(np.finfo(np.float32).eps)
+
+
+# ---------------------------------------------------------------------------
+# Framing helpers
+# ---------------------------------------------------------------------------
+
+
+def _frame(x: jnp.ndarray, frame: int, hop: int) -> jnp.ndarray:
+    """[..., T] -> [..., n_frames, frame] with n_frames = 1 + (T-frame)//hop."""
+    t = x.shape[-1]
+    n = 1 + (t - frame) // hop
+    idx = jnp.arange(n)[:, None] * hop + jnp.arange(frame)[None, :]
+    return x[..., idx]
+
+
+def _unfold_ceil(x: jnp.ndarray, frame: int, hop: int) -> jnp.ndarray:
+    """The reference's ``_unfold`` (``sisnr.py:15-29``): right-pads so that
+    n_frames = ceil(T / hop). [..., T] -> [..., n_frames, frame]."""
+    t = x.shape[-1]
+    n = max(1, math.ceil(t / hop))
+    tgt = (n - 1) * hop + frame
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, tgt - t)])
+    return _frame(x, frame, hop)
+
+
+def _stft_mag(x: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarray:
+    """torch.stft-compatible magnitude (center=True reflect pad, hann(win)
+    zero-padded centered to n_fft; ``stftloss.py:16-42``).
+
+    [B, T] -> [B, n_frames, n_fft//2+1]."""
+    window = np.zeros(n_fft, np.float32)
+    off = (n_fft - win) // 2
+    window[off : off + win] = _hann(win)
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    frames = _frame(x, n_fft, hop) * jnp.asarray(window)
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return jnp.sqrt(jnp.clip(jnp.abs(spec) ** 2, 1e-7, None))
+
+
+def _hann(n: int) -> np.ndarray:
+    """torch.hann_window(n, periodic=True)."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
+
+
+def _bct(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, C] -> [B, C, T] (reference layout)."""
+    return jnp.swapaxes(x, -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# STFT losses (stftloss.py)
+# ---------------------------------------------------------------------------
+
+
+def stft_losses(x: jnp.ndarray, y: jnp.ndarray, n_fft: int, hop: int, win: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(spectral convergence, log magnitude L1) for [B, T, C] signals
+    (``STFTLosses.forward``, ``stftloss.py:87-127``)."""
+    b, t, c = x.shape
+    xm = _stft_mag(_bct(x).reshape(b * c, t), n_fft, hop, win)
+    ym = _stft_mag(_bct(y).reshape(b * c, t), n_fft, hop, win)
+    sc = jnp.linalg.norm(ym - xm) / (jnp.linalg.norm(ym) + _EPS)
+    mag = jnp.abs(jnp.log(_EPS + ym) - jnp.log(_EPS + xm)).mean()
+    return sc, mag
+
+
+@dataclasses.dataclass(frozen=True)
+class STFTLoss:
+    """Single-resolution STFT loss (``stftloss.py:129-162``)."""
+
+    n_fft: int = 1024
+    hop: int = 120
+    win: int = 600
+    factor_sc: float = 0.1
+    factor_mag: float = 0.1
+
+    def __call__(self, x, y):
+        sc, mag = stft_losses(x, y, self.n_fft, self.hop, self.win)
+        return self.factor_sc * sc + self.factor_mag * mag
+
+
+@dataclasses.dataclass(frozen=True)
+class MRSTFTLoss:
+    """Multi-resolution STFT loss (``stftloss.py:164-207``)."""
+
+    n_ffts: Sequence[int] = (1024, 2048, 512)
+    hops: Sequence[int] = (120, 240, 50)
+    wins: Sequence[int] = (600, 1200, 240)
+    factor_sc: float = 0.1
+    factor_mag: float = 0.1
+
+    def __call__(self, x, y):
+        sc_total = 0.0
+        mag_total = 0.0
+        for n_fft, hop, win in zip(self.n_ffts, self.hops, self.wins):
+            sc, mag = stft_losses(x, y, n_fft, hop, win)
+            sc_total = sc_total + sc
+            mag_total = mag_total + mag
+        n = len(self.n_ffts)
+        return self.factor_sc * sc_total / n + self.factor_mag * mag_total / n
+
+
+# ---------------------------------------------------------------------------
+# SI-SNR (sisnr.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SISNR:
+    """Negated SI-SNR, chunked (``sisnr.py:39-97``). Lower is better."""
+
+    sample_rate: int = 16000
+    segment: Optional[float] = 20.0
+    overlap: float = 0.5
+
+    def __call__(self, out_sig, ref_sig):  # [B, T, C]
+        out_sig = _bct(out_sig)
+        ref_sig = _bct(ref_sig)
+        t = ref_sig.shape[-1]
+        if self.segment is None:
+            frame, stride = t, t
+        else:
+            frame = int(self.segment * self.sample_rate)
+            stride = int(frame * (1 - self.overlap))
+        eps = _EPS * frame
+        gt = _unfold_ceil(ref_sig, frame, stride)
+        est = _unfold_ceil(out_sig, frame, stride)
+        gt = gt - gt.mean(-1, keepdims=True)
+        est = est - est.mean(-1, keepdims=True)
+        dot = jnp.einsum("bcft,bcft->bcf", gt, est)
+        n2 = (gt**2).sum(-1, keepdims=True)
+        proj = dot[..., None] * gt / (eps + n2)
+        noise = est - proj
+        sisnr = 10.0 * (
+            jnp.log10(eps + (proj**2).sum(-1, keepdims=True))
+            - jnp.log10(eps + (noise**2).sum(-1, keepdims=True))
+        )
+        return -sisnr[..., 0].mean()
+
+
+# ---------------------------------------------------------------------------
+# Mel spectrogram losses (specloss.py)
+# ---------------------------------------------------------------------------
+
+
+def _mel_fbank(sr: float, n_fft: int, n_mels: int, f_min: float = 0.0,
+               f_max: Optional[float] = None) -> np.ndarray:
+    """torchaudio-compatible (htk scale, no norm) triangular mel filterbank
+    [n_freqs, n_mels]."""
+    f_max = f_max or sr / 2.0
+    freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    to_mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    from_mel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    mels = np.linspace(to_mel(f_min), to_mel(f_max), n_mels + 2)
+    f_pts = from_mel(mels)
+    fb = np.zeros((len(freqs), n_mels), np.float32)
+    for m in range(n_mels):
+        lo, ce, hi = f_pts[m], f_pts[m + 1], f_pts[m + 2]
+        up = (freqs - lo) / max(ce - lo, 1e-10)
+        down = (hi - freqs) / max(hi - ce, 1e-10)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+@dataclasses.dataclass(frozen=True)
+class MelSpectrogramWrapper:
+    """``specloss.py:18-63``: reflect-pad (n_fft-hop)//2 both sides, pad to
+    full frames, center=False power-2 mel spectrogram, optional log10 with a
+    perception floor. [B, T, C] -> [B, C*n_mels, n_frames]."""
+
+    n_fft: int = 1024
+    hop: int = 256
+    win: Optional[int] = None
+    n_mels: int = 80
+    sample_rate: float = 22050
+    f_min: float = 0.0
+    f_max: Optional[float] = None
+    log: bool = True
+    floor_level: float = 1e-5
+
+    def __call__(self, x):  # [B, T, C]
+        win = self.win or self.n_fft
+        x = _bct(x)
+        b, c, t = x.shape
+        p = (self.n_fft - self.hop) // 2
+        x = jnp.pad(x.reshape(b * c, t), ((0, 0), (p, p)), mode="reflect")
+        # pad_for_conv1d: right-pad so frames = ceil(T/hop) are all full
+        t2 = x.shape[-1]
+        n_frames = math.ceil((t2 - self.n_fft) / self.hop) + 1
+        tgt = (n_frames - 1) * self.hop + self.n_fft
+        x = jnp.pad(x, ((0, 0), (0, max(0, tgt - t2))))
+        window = np.zeros(self.n_fft, np.float32)
+        off = (self.n_fft - win) // 2
+        window[off : off + win] = _hann(win)
+        frames = _frame(x, self.n_fft, self.hop) * jnp.asarray(window)
+        power = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2  # [BC, F, nfreq]
+        fb = jnp.asarray(_mel_fbank(self.sample_rate, self.n_fft, self.n_mels,
+                                    self.f_min, self.f_max))
+        mel = power @ fb  # [BC, F, n_mels]
+        mel = jnp.swapaxes(mel, -1, -2)  # [BC, n_mels, F]
+        if self.log:
+            mel = jnp.log10(self.floor_level + mel)
+        return mel.reshape(b, c * self.n_mels, -1)
+
+
+@dataclasses.dataclass(frozen=True)
+class MelSpectrogramL1Loss:
+    """L1 on log-mel spectrograms (``specloss.py:66-96``)."""
+
+    sample_rate: int
+    n_fft: int = 1024
+    hop: int = 256
+    win: int = 1024
+    n_mels: int = 80
+
+    def __call__(self, x, y):
+        mel = MelSpectrogramWrapper(self.n_fft, self.hop, self.win, self.n_mels,
+                                    self.sample_rate)
+        return jnp.abs(mel(x) - mel(y)).mean()
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiScaleMelSpectrogramLoss:
+    """msspec: L1 on linear mel + alpha_i * MSE on log mel over scales
+    2^6..2^10 (``specloss.py:99-149``)."""
+
+    sample_rate: int
+    range_start: int = 6
+    range_end: int = 11
+    n_mels: int = 64
+    alphas: bool = True
+    normalized: bool = False
+
+    def __call__(self, x, y):
+        loss = 0.0
+        total = 0.0
+        for i in range(self.range_start, self.range_end):
+            kw = dict(n_fft=2**i, hop=int((2**i) / 4), win=2**i,
+                      n_mels=self.n_mels, sample_rate=self.sample_rate)
+            alpha = math.sqrt(2**i - 1) if self.alphas else 1.0
+            lin = MelSpectrogramWrapper(log=False, **kw)
+            logm = MelSpectrogramWrapper(log=True, **kw)
+            loss = loss + jnp.abs(lin(x) - lin(y)).mean() \
+                + alpha * ((logm(x) - logm(y)) ** 2).mean()
+            total += alpha + 1
+        return loss / total if self.normalized else loss
+
+
+# ---------------------------------------------------------------------------
+# TF loudness ratio (loudnessloss.py)
+# ---------------------------------------------------------------------------
+
+
+def _biquad_freq_response(b: Sequence[float], a: Sequence[float], n_fft: int
+                          ) -> np.ndarray:
+    """H(e^{jw}) on the rfft grid."""
+    w = np.exp(-2j * np.pi * np.arange(n_fft // 2 + 1) / n_fft)
+    num = b[0] + b[1] * w + b[2] * w**2
+    den = a[0] + a[1] * w + a[2] * w**2
+    return (num / den).astype(np.complex64)
+
+
+def _k_weighting_response(sr: int, n_fft: int) -> np.ndarray:
+    """treble_biquad(4 dB, 1500 Hz, Q=1/sqrt2) * highpass_biquad(38 Hz,
+    Q=0.5) — the K-weighting pre-filter of ``basic_loudness``
+    (``loudnessloss.py:35-37``)."""
+    # treble shelf (torchaudio treble_biquad)
+    gain, fc, q = 4.0, 1500.0, 1.0 / math.sqrt(2.0)
+    w0 = 2 * math.pi * fc / sr
+    A = 10.0 ** (gain / 40.0)
+    alpha = math.sin(w0) / (2 * q)
+    cosw = math.cos(w0)
+    tb = [A * ((A + 1) + (A - 1) * cosw + 2 * math.sqrt(A) * alpha),
+          -2 * A * ((A - 1) + (A + 1) * cosw),
+          A * ((A + 1) + (A - 1) * cosw - 2 * math.sqrt(A) * alpha)]
+    ta = [(A + 1) - (A - 1) * cosw + 2 * math.sqrt(A) * alpha,
+          2 * ((A - 1) - (A + 1) * cosw),
+          (A + 1) - (A - 1) * cosw - 2 * math.sqrt(A) * alpha]
+    # highpass (torchaudio highpass_biquad)
+    fc2, q2 = 38.0, 0.5
+    w02 = 2 * math.pi * fc2 / sr
+    alpha2 = math.sin(w02) / (2 * q2)
+    cosw2 = math.cos(w02)
+    hb = [(1 + cosw2) / 2, -(1 + cosw2), (1 + cosw2) / 2]
+    ha = [1 + alpha2, -2 * cosw2, 1 - alpha2]
+    return _biquad_freq_response(tb, ta, n_fft) * _biquad_freq_response(hb, ha, n_fft)
+
+
+def _basic_loudness(wav: jnp.ndarray, sr: int) -> jnp.ndarray:
+    """``basic_loudness`` (``loudnessloss.py:18-51``) for [N, 1, T]:
+    K-weighting (frequency-domain), 0.4 s / 75 %-overlap energy blocks,
+    -0.691 + 10 log10(E). Returns per-block loudness [N, blocks]."""
+    n, c, t = wav.shape
+    x = wav.reshape(n * c, t)
+    n_fft = int(2 ** math.ceil(math.log2(max(t, 16))))
+    H = jnp.asarray(_k_weighting_response(sr, n_fft))
+    spec = jnp.fft.rfft(x, n=n_fft, axis=-1) * H
+    x = jnp.fft.irfft(spec, n=n_fft, axis=-1)[..., :t].reshape(n, c, t)
+    gate = int(round(0.4 * sr))
+    step = int(round(gate * 0.25))
+    if t < gate:  # single full block fallback
+        energy = jnp.mean(x**2, axis=-1, keepdims=True)
+    else:
+        energy = _frame(x**2, gate, step).mean(-1)  # [N, C, blocks]
+    # channel weights (g=1 for mono); per-block loudness like the reference
+    energy_weighted = energy.sum(axis=1)  # [N, blocks]
+    return -0.691 + 10.0 * jnp.log10(energy_weighted + _EPS)
+
+
+def _split_bands_kernels(sr: int, n_bands: int, zeros: float = 8.0
+                         ) -> np.ndarray:
+    """julius.SplitBands-style mel-spaced band split as FIR kernels
+    [n_bands, taps]: lowpass banks at mel-spaced cutoffs, adjacent
+    differences (band i = lp[i+1] - lp[i], band 0 = lp[1], last = delta -
+    lp[-1])."""
+    to_mel = lambda f: 1127.0 * np.log(1.0 + f / 700.0)  # noqa: E731
+    from_mel = lambda m: 700.0 * (np.exp(m / 1127.0) - 1.0)  # noqa: E731
+    mels = np.linspace(to_mel(0.0), to_mel(sr / 2), n_bands + 1)
+    cutoffs = from_mel(mels)[1:-1] / sr  # normalized (0, 0.5)
+    half = int(math.ceil(zeros / (2 * min(cutoffs)) / 2))
+    taps = 2 * half + 1
+    tgrid = np.arange(taps) - half
+
+    def lp(cut):
+        k = 2 * cut * np.sinc(2 * cut * tgrid)
+        k *= np.hanning(taps)
+        return k / k.sum()
+
+    lows = [lp(c) for c in cutoffs]
+    delta = np.zeros(taps)
+    delta[half] = 1.0
+    bands = [lows[0]]
+    for i in range(1, len(lows)):
+        bands.append(lows[i] - lows[i - 1])
+    bands.append(delta - lows[-1])
+    return np.stack(bands).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class TFLoudnessRatio:
+    """TF-loudness ratio (``loudnessloss.py:152-204``): mel band split,
+    0.5 s frames, per-(band, frame) loudness of (pred - ref) relative to ref,
+    softmax-weighted mean."""
+
+    sample_rate: int = 24000
+    segment: float = 0.5
+    overlap: float = 0.5
+    n_bands: int = 16
+    temperature: float = 1.0
+
+    def __call__(self, out_sig, ref_sig):  # [B, T, C=1]
+        out_sig = _bct(out_sig)
+        ref_sig = _bct(ref_sig)
+        b, c, t = ref_sig.shape
+        kern = _split_bands_kernels(self.sample_rate, self.n_bands)
+        pad = kern.shape[-1] // 2
+        k = jnp.asarray(kern)[:, None, :]  # [bands, 1, taps] OIH
+
+        def split(sig):  # [B, 1, T] -> [B*bands, 1, T]
+            y = jax.lax.conv_general_dilated(
+                sig, k, (1,), ((pad, pad),),
+                dimension_numbers=("NCH", "OIH", "NCH"))
+            return y.reshape(b * self.n_bands, 1, t)
+
+        bands_ref = split(ref_sig)
+        bands_out = split(out_sig)
+        frame = int(self.segment * self.sample_rate)
+        stride = int(frame * (1 - self.overlap))
+        gt = _unfold_ceil(bands_ref[:, 0], frame, stride).reshape(-1, 1, frame)
+        est = _unfold_ceil(bands_out[:, 0], frame, stride).reshape(-1, 1, frame)
+        l_noise = _basic_loudness(est - gt, self.sample_rate)
+        l_ref = _basic_loudness(gt, self.sample_rate)
+        l_ratio = (l_noise - l_ref).reshape(-1, b)
+        w = jax.nn.softmax(l_ratio / self.temperature, axis=0)
+        return (w * l_ratio).mean()
+
+
+# ---------------------------------------------------------------------------
+# Dispatchers (finetune_mimi.py:91-117)
+# ---------------------------------------------------------------------------
+
+
+def get_audio_loss(loss_type: str, sample_rate: int = 24000):
+    if loss_type == "mse":
+        return lambda x, y: ((x - y) ** 2).mean()
+    if loss_type == "l1":
+        return lambda x, y: jnp.abs(x - y).mean()
+    if loss_type == "sisnr":
+        return SISNR(sample_rate=sample_rate)
+    if loss_type == "multi_mel":
+        return MultiScaleMelSpectrogramLoss(sample_rate=sample_rate)
+    if loss_type == "stft":
+        return STFTLoss()
+    if loss_type == "mrstft":
+        return MRSTFTLoss()
+    if loss_type == "tf_loudness":
+        return TFLoudnessRatio(sample_rate=sample_rate)
+    raise ValueError(f"Unknown audio loss type: {loss_type}")
+
+
+def get_code_loss(loss_type: str):
+    if loss_type == "mse":
+        return lambda x, y: ((x - y) ** 2).mean()
+    if loss_type == "l1":
+        return lambda x, y: jnp.abs(x - y).mean()
+    raise ValueError(f"Unknown code loss type: {loss_type}")
