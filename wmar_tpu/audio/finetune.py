@@ -143,6 +143,159 @@ class MimiFTWrapper:
         return self.model.apply(self._vars(), z, method=f)
 
 
+def parse_code_target_indices(code_target_type: str):
+    """``finetune_mimi.py:113-143``: 'pre_q'/'post_q' -> None, else digit /
+    range / comma lists ('0-2,5', '013') -> sorted indices."""
+    import re
+
+    if code_target_type in ("pre_q", "post_q"):
+        return None
+    indices = set()
+    for part in code_target_type.split(","):
+        part = part.strip()
+        m = re.match(r"(\d+)-(\d+)$", part)
+        if m:
+            start, end = int(m.group(1)), int(m.group(2))
+            if start > end:
+                raise ValueError(f"Invalid range in code_target_type: {start}-{end}")
+            indices.update(range(start, end + 1))
+        elif part.isdigit():
+            indices.update(int(d) for d in part)
+        else:
+            raise ValueError(
+                f"Invalid format in code_target_type: {part}. Use 'pre_q', "
+                "'post_q', digits (e.g. '0', '13'), or ranges ('0-2', '1-3,5').")
+    if not indices:
+        raise ValueError(f"Could not parse indices from: {code_target_type}")
+    return sorted(indices)
+
+
+def rcc_forward(wrapper: MimiFTWrapper, trainable, audio, aug_fn=None, rng=None):
+    """The reference ``MimiFTWrapper.forward`` pipeline
+    (``training/mimi_ft_wrapper.py:49-80``), audio in [B, T, 1]:
+
+    replica encoder -> frozen quantizer (all pre/post latents) ->
+    {replica decoder = audio target, trainable decoder = prediction} ->
+    (augment) -> trainable encoder -> frozen quantizer again.
+    """
+    model = wrapper.model
+    nq_sem = model.cfg.n_q_semantic
+
+    def quantize_all(m, z):
+        c1, q1, pre1, post1 = m.rvq_first.encode_decode_all(z)
+        c2, q2, pre2, post2 = m.rvq_rest.encode_decode_all(z)
+        return (jnp.concatenate([c1, c2], axis=1), q1 + q2,
+                jnp.concatenate([pre1, pre2], axis=0),
+                jnp.concatenate([post1, post2], axis=0))
+
+    frozen = wrapper._vars()
+    embs_pre_q = model.apply(frozen, audio, method=Mimi._to_latent)
+    codes, embs_post_q, all_pre_q, all_post_q = model.apply(
+        frozen, embs_pre_q, method=quantize_all)
+    audio_recon = model.apply(frozen, embs_post_q, method=Mimi._from_latent)
+    audio_recon_pred = wrapper.decode(trainable, embs_post_q)
+    if aug_fn is not None:
+        audio_recon_pred_aug, selected = aug_fn(audio_recon_pred, rng)
+    else:
+        audio_recon_pred_aug, selected = audio_recon_pred, jnp.zeros((1,), jnp.int32)
+    recons_pre_q = wrapper.encode_latent(trainable, audio_recon_pred_aug)
+    recons_codes, recons_post_q, recons_all_pre_q, recons_all_post_q = model.apply(
+        frozen, recons_pre_q, method=quantize_all)
+    return {
+        "audio_recon": audio_recon,
+        "audio_recon_pred": audio_recon_pred,
+        "audio_recon_pred_aug": audio_recon_pred_aug,
+        "embs_pre_q": embs_pre_q,
+        "embs_post_q": embs_post_q,
+        "all_pre_q": all_pre_q,
+        "all_post_q": all_post_q,
+        "codes": codes,
+        "recons_embs_pre_q_pred": recons_pre_q,
+        "recons_embs_post_q_pred": recons_post_q,
+        "recons_all_pre_q": recons_all_pre_q,
+        "recons_all_post_q": recons_all_post_q,
+        "recons_codes": recons_codes,
+        "selected_aug": selected,
+    }
+
+
+def rcc_losses_and_metrics(out, audio, audio_loss_fn, code_loss_fn,
+                           audio_loss_weight, code_loss_weight,
+                           audio_target_type="replica", code_target_type="pre_q"):
+    """Loss composition + per-codebook idempotence rate
+    (``finetune_mimi.py:185-260``)."""
+    if audio_target_type == "replica":
+        audio_target = jax.lax.stop_gradient(out["audio_recon"])
+    elif audio_target_type == "original":
+        audio_target = audio
+    else:
+        raise ValueError(f"Unknown audio target type: {audio_target_type}")
+    audio_loss = audio_loss_fn(out["audio_recon_pred"], audio_target)
+
+    idx = parse_code_target_indices(code_target_type)
+    if idx is None:
+        if code_target_type == "post_q":
+            tgt, pred = out["embs_post_q"], out["recons_embs_post_q_pred"]
+        else:  # pre_q
+            tgt, pred = out["embs_pre_q"], out["recons_embs_pre_q_pred"]
+        code_loss = code_loss_fn(pred, jax.lax.stop_gradient(tgt))
+    else:
+        tgt = jax.lax.stop_gradient(out["all_post_q"][jnp.asarray(idx)])
+        pred = out["recons_all_pre_q"][jnp.asarray(idx)]
+        code_loss = jnp.stack(
+            [code_loss_fn(pred[i], tgt[i]) for i in range(len(idx))]).mean()
+
+    loss = audio_loss_weight * audio_loss + code_loss_weight * code_loss
+    idemp = (out["codes"] == out["recons_codes"]).astype(jnp.float32).mean(
+        axis=(0, 2))  # [K]
+    metrics = {"loss": loss, "audio_loss": audio_loss, "code_loss": code_loss}
+    for k in range(idemp.shape[0]):
+        metrics[f"idemp_{k}"] = idemp[k]
+    return loss, metrics
+
+
+def make_rcc_train_step(wrapper: MimiFTWrapper, optimizer, audio_loss_fn,
+                        code_loss_fn, audio_loss_weight: float,
+                        code_loss_weight: float, aug_fn=None,
+                        audio_target_type: str = "replica",
+                        code_target_type: str = "pre_q"):
+    """Reference-parity train step over raw audio batches
+    (``finetune_mimi.py:145-262`` train_one_epoch body)."""
+
+    def loss_fn(trainable, audio, rng):
+        out = rcc_forward(wrapper, trainable, audio, aug_fn, rng)
+        return rcc_losses_and_metrics(
+            out, audio, audio_loss_fn, code_loss_fn, audio_loss_weight,
+            code_loss_weight, audio_target_type, code_target_type)
+
+    def train_step(state: MimiFTState, audio, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, audio, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        return MimiFTState(state.step + 1, trainable, opt_state), metrics
+
+    return train_step
+
+
+def make_rcc_eval_step(wrapper: MimiFTWrapper, audio_loss_fn, code_loss_fn,
+                       aug_fn=None, audio_target_type: str = "replica",
+                       code_target_type: str = "pre_q"):
+    """Eval pass (``finetune_mimi.py:264-372`` eval_one_epoch body): losses +
+    per-codebook idempotence, plus the reconstructions for host-side
+    SISNR/SNR/STOI/PESQ metrics and sample wav dumps."""
+
+    def eval_step(trainable, audio, rng):
+        out = rcc_forward(wrapper, trainable, audio, aug_fn, rng)
+        _, metrics = rcc_losses_and_metrics(
+            out, audio, audio_loss_fn, code_loss_fn, 1.0, 1.0,
+            audio_target_type, code_target_type)
+        del metrics["loss"]
+        return metrics, out["audio_recon"], out["audio_recon_pred"]
+
+    return eval_step
+
+
 def make_train_step(wrapper: MimiFTWrapper, cfg: MimiFTConfig, optimizer):
     n_augs = len(TRAIN_AUGS)
 

@@ -98,7 +98,9 @@ def stft_losses(x: jnp.ndarray, y: jnp.ndarray, n_fft: int, hop: int, win: int
     b, t, c = x.shape
     xm = _stft_mag(_bct(x).reshape(b * c, t), n_fft, hop, win)
     ym = _stft_mag(_bct(y).reshape(b * c, t), n_fft, hop, win)
-    sc = jnp.linalg.norm(ym - xm) / (jnp.linalg.norm(ym) + _EPS)
+    # sqrt has a NaN gradient at exactly 0; at init the trainable decoder
+    # equals the frozen replica so ym == xm — keep eps inside the sqrt.
+    sc = jnp.sqrt(((ym - xm) ** 2).sum() + _EPS**2) / (jnp.linalg.norm(ym) + _EPS)
     mag = jnp.abs(jnp.log(_EPS + ym) - jnp.log(_EPS + xm)).mean()
     return sc, mag
 

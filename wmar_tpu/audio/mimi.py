@@ -263,6 +263,32 @@ class RVQ(nn.Module):
         quantized_st = y + jax.lax.stop_gradient(quantized - y)
         return jnp.stack(codes, axis=1), self.output_proj(quantized_st), y, quantized
 
+    def encode_decode_all(self, x: jnp.ndarray):
+        """Like :meth:`encode_decode` but also returns per-layer latents in
+        codebook space — the reference's ``encode_all``/``decode_all``
+        (``core_vq.py:530-556``): ``all_pre[i]`` is the residual entering
+        layer i, ``all_post[i]`` its quantized codebook vector.
+
+        Returns ``(codes [B,nq,T], out [B,T,dim], all_pre [nq,B,T,cd],
+        all_post [nq,B,T,cd])``."""
+        y = self.input_proj(x)
+        residual = y
+        quantized = 0.0
+        codes, pres, posts = [], [], []
+        for q in range(self.n_q):
+            emb = self.codebooks[q]
+            pres.append(residual)
+            d = (emb**2).sum(-1) - 2.0 * residual @ emb.T
+            idx = jnp.argmin(d, axis=-1)
+            codes.append(idx)
+            q_emb = emb[idx]
+            posts.append(q_emb)
+            quantized = quantized + q_emb
+            residual = residual - jax.lax.stop_gradient(q_emb)
+        quantized_st = y + jax.lax.stop_gradient(quantized - y)
+        return (jnp.stack(codes, axis=1), self.output_proj(quantized_st),
+                jnp.stack(pres), jnp.stack(posts))
+
 
 class Mimi(nn.Module):
     """Full codec. audio [B, T, 1] in [-1, 1] <-> codes [B, n_q, frames]."""

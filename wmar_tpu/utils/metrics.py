@@ -144,3 +144,12 @@ def sisnr(est, ref) -> float:
     s = (est @ ref) / (ref @ ref + 1e-12) * ref
     noise = est - s
     return float(10 * np.log10((s @ s + 1e-12) / (noise @ noise + 1e-12)))
+
+
+def snr(est, ref) -> float:
+    """Plain SNR in dB (``wmar_audio/evals/metrics.py`` calculate_snr).
+    Inputs [T] or [B, T, 1]."""
+    est = np.asarray(est, dtype=np.float64).reshape(-1)
+    ref = np.asarray(ref, dtype=np.float64).reshape(-1)
+    noise = est - ref
+    return float(10 * np.log10((ref @ ref + 1e-12) / (noise @ noise + 1e-12)))
