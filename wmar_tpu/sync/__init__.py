@@ -1,7 +1,16 @@
 """Geometric synchronization (WAM-quadrant + SyncSeal ports).
 
-Round-1 status: interface + dispatcher; model ports land next
-(reference: ``wmar/watermarking/synchronization.py``, ``syncseal/``).
+Modules (reference: ``wmar/watermarking/synchronization.py``, ``syncseal/``):
+
+* ``wam_logic`` / ``wam_exact`` — WAM quadrant sync + the weight-compatible
+  WAM model port.
+* ``syncseal`` / ``syncseal_models`` — SyncSeal embedder/extractor, the
+  reference-spec training loop, eval grids, SIFT+RANSAC baseline.
+* ``homography`` — corner-homography solve/warp/unwarp.
+* ``baselines`` — baseline watermark bank behind one embed/detect wrapper
+  (``syncseal/evals/baselines.py``).
+* ``eval_wm`` — watermark robustness evaluated through the sync layer
+  (``syncseal/evals/eval_wm.py``).
 """
 
 from __future__ import annotations
