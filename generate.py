@@ -118,7 +118,90 @@ def get_parser():
     p.add_argument("--syncpath", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_augs", action="store_true")
+    p.add_argument("--interleaved", type=str, default=None,
+                   help="prompts file (e.g. assets/interleaved_prompts.txt): "
+                        "generate interleaved text+image output per prompt "
+                        "instead of t2i (chameleon7b only; reference "
+                        "chameleon_wrapper.py:108-134)")
+    p.add_argument("--max_images", type=int, default=1,
+                   help="max image segments per interleaved generation")
+    p.add_argument("--text_gen_len", type=int, default=64,
+                   help="max tokens per interleaved text segment")
     return p
+
+
+def run_interleaved(args, wrapper, apply_wm):
+    """Interleaved text+image generation over a prompts file.
+
+    Mirrors the reference's interleaved path (``wmar/models/
+    chameleon_wrapper.py:108-134`` ``sample_interleaved`` + the
+    ``split_token_sequence`` segment contract) but drives the fused
+    single-scan sampler. Per prompt, writes ``p=<idx>,idx=<s>/``:
+    ``prompt.txt``, ``seg<k>_text.{txt,npy}`` for text segments, and
+    ``seg<k>_img.{png,npy,json}`` for image segments — the json carries
+    watermark p-values on both the raw generated codes and the
+    re-tokenized (decode->encode roundtrip) codes, the detection the
+    standard pipeline measures.
+    """
+    from wmar_tpu.core.detect import detect
+    from wmar_tpu.eval.pipeline import to_pillow
+    from wmar_tpu.models import GenParams
+    from wmar_tpu.models.chameleon_interleaved import (
+        TextGenOptions,
+        sample_interleaved_fused,
+    )
+
+    if not hasattr(wrapper, "llama_params"):
+        raise SystemExit("--interleaved is the chameleon7b path")
+    with open(args.interleaved) as f:
+        prompts = [ln.strip() for ln in f if ln.strip()]
+    prompts = prompts[args.chunk_id::args.num_chunks]
+    text_opts = TextGenOptions(max_gen_len=args.text_gen_len,
+                               temp=args.temperature, top_p=args.top_p)
+    gen = GenParams(temperature=args.temperature, top_k=args.top_k,
+                    top_p=args.top_p, guidance_scale=args.guidance_scale,
+                    guidance_scale_pow=0.0)
+    records = []
+    for pi, prompt in enumerate(prompts):
+        for si in range(args.num_samples_per_conditioning):
+            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed),
+                                     pi * 131071 + si)
+            segs = sample_interleaved_fused(
+                wrapper, prompt, gen, text_opts=text_opts,
+                max_images=args.max_images, apply_watermark=apply_wm, rng=rng)
+            d = os.path.join(args.outdir, f"p={pi},idx={si}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "prompt.txt"), "w") as f:
+                f.write(prompt + "\n")
+            for k, (kind, toks) in enumerate(segs):
+                toks = np.asarray(toks)
+                if kind == "text_seg":
+                    np.save(os.path.join(d, f"seg{k}_text.npy"), toks)
+                    with open(os.path.join(d, f"seg{k}_text.txt"), "w") as f:
+                        f.write(" ".join(str(t) for t in toks[0]) + "\n")
+                    continue
+                if toks.shape[1] != wrapper.image_seq_len:
+                    # generation budget ran out mid-image: not decodable
+                    print(f"skipping truncated image segment {k} "
+                          f"({toks.shape[1]}/{wrapper.image_seq_len} tokens)")
+                    continue
+                imgs = wrapper.codes_to_images(jnp.asarray(toks))
+                to_pillow(np.asarray(imgs)[0]).save(
+                    os.path.join(d, f"seg{k}_img.png"))
+                np.save(os.path.join(d, f"seg{k}_img.npy"), toks)
+                rec = {"prompt": prompt, "segment": k}
+                if apply_wm:
+                    recodes = wrapper.images_to_codes(imgs).reshape(toks.shape[0], -1)
+                    rec["pvalue_raw"] = float(detect(
+                        wrapper.watermark_spec, wrapper.greenlist,
+                        jnp.asarray(toks))[0])
+                    rec["pvalue_roundtrip"] = float(detect(
+                        wrapper.watermark_spec, wrapper.greenlist, recodes)[0])
+                with open(os.path.join(d, f"seg{k}_img.json"), "w") as f:
+                    json.dump(rec, f, indent=1)
+                records.append(rec)
+    print(f"wrote {len(records)} interleaved image segments to {args.outdir}")
+    return records
 
 
 def load_wrapper(args):
@@ -309,6 +392,9 @@ def main(argv=None):
         apply_wm = True
     else:
         apply_wm = False
+
+    if args.interleaved:
+        return run_interleaved(args, wrapper, apply_wm)
 
     if os.path.exists(args.conditioning):
         with open(args.conditioning) as f:

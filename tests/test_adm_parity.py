@@ -12,6 +12,8 @@ import math
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 torch = pytest.importorskip("torch")
 import torch.nn as nn
 import torch.nn.functional as F

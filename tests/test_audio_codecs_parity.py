@@ -9,6 +9,8 @@ exercising convert_encodec / convert_dac end to end.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 torch = pytest.importorskip("torch")
 import torch.nn as nn
 from torch.nn.utils import weight_norm

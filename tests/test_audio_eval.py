@@ -8,6 +8,10 @@ import numpy as np
 from wmar_tpu.audio.sync import SyncPattern, cross_correlation_search, square_template
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 def test_audio_eval_cli_tiny(tmp_path):
     import wmar_audio_eval
 

@@ -17,6 +17,8 @@ from wmar_tpu.audio.finetune import (
     validation_token_match,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 TINY = MimiConfig(
     dimension=32, n_filters=8, ratios=(4, 2), n_residual_layers=1,
     n_q=2, n_q_semantic=1, cardinality=16, codebook_dim=8,

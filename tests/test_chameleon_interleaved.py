@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 from wmar_tpu.models import ChameleonARMM, ChameleonVocab, GenParams, LlamaConfig, TamingVQGAN, VQGANConfig, init_llama_params
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 from wmar_tpu.models.chameleon_interleaved import (
     ChameleonTextSampler,
     TextGenOptions,

@@ -28,6 +28,8 @@ from wmar_tpu.sync.eval_wm import (
     valuemetric_grid,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 
 def test_metrics_bit_accuracy_and_pvalue():
     targets = jnp.asarray([[1, 0, 1, 1, 0, 0, 1, 0]] * 2)

@@ -9,6 +9,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 def test_export_decode_roundtrip(tmp_path):
     from tools.export_decode import main
 

@@ -8,6 +8,8 @@ the FID pool quirks) at 1/8 width with the released state-dict naming, so
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 torch = pytest.importorskip("torch")
 import torch.nn as nn
 import torch.nn.functional as F

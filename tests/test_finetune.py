@@ -21,6 +21,8 @@ from wmar_tpu.finetune.rcc import _branch_logits, _latent_mask
 from wmar_tpu.models import MaskGitVQConfig, MaskGitVQGAN, TamingVQGAN, VQGANConfig
 from wmar_tpu.parallel import make_mesh, shard_batch
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 TINY_VQ = VQGANConfig(
     resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
     z_channels=32, n_embed=64, embed_dim=16,

@@ -23,6 +23,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 GOLDEN_PATH = os.path.join(REPO, "assets", "golden_e2e.json")
 
 ARGV = [

@@ -29,6 +29,8 @@ from wmar_tpu.audio.finetune import (
 )
 from wmar_tpu.audio.losses import MRSTFTLoss, get_code_loss
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 TINY = MimiConfig(
     dimension=32, n_filters=8, ratios=(4, 2), n_residual_layers=1,
     n_q=4, n_q_semantic=1, cardinality=16, codebook_dim=8,

@@ -5,6 +5,8 @@ converter (``moshi/models/lm.py:143-221``, ``modules/transformer.py``,
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 torch = pytest.importorskip("torch")
 import torch.nn as nn
 import torch.nn.functional as F

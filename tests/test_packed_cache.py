@@ -16,6 +16,8 @@ from wmar_tpu.engine.attention import cached_decode_attention, decode_attention
 from wmar_tpu.engine.kvcache import KVCache, PackedQuantKVCache, QuantKVCache
 from wmar_tpu.ops.flash_decode import packed_decode_attention_q8
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 L, B, H, T, D = 2, 4, 4, 32, 16
 
 

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 def test_generate_cli_tiny_taming(tmp_path):
     import generate
 

@@ -18,6 +18,8 @@ from wmar_tpu.models.llama import (
 )
 from wmar_tpu.parallel import llama_prefill_pp, make_mesh
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 CFG = LlamaConfig(dim=32, n_layers=4, n_heads=4, vocab_size=64,
                   multiple_of=32, qk_normalization=True)
 

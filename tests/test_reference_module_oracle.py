@@ -11,6 +11,10 @@ import importlib.machinery
 import sys
 import types
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 
 def _stub_module(name):
     m = types.ModuleType(name)
@@ -19,7 +23,6 @@ def _stub_module(name):
 
 
 import numpy as np
-import pytest
 
 torch = pytest.importorskip("torch")
 

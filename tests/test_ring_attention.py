@@ -19,6 +19,9 @@ from wmar_tpu.models.llama import (
 )
 from wmar_tpu.engine.kvcache import KVCache
 from wmar_tpu.parallel import make_mesh, ring_prefill_attention
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
 
 
 def dense_masked_attention(q, k, v, start=None, key_mask=None):

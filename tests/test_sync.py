@@ -22,6 +22,8 @@ from wmar_tpu.sync.wam_logic import (
     revert_augmentation,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 MSGS = quadrant_messages()
 
 

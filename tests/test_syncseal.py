@@ -16,6 +16,8 @@ from wmar_tpu.sync.syncseal import (
     random_corner_homography,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 CFG = SyncSealConfig(image_size=32, scaling_w=0.4)
 
 

@@ -20,6 +20,8 @@ from wmar_tpu.sync.syncseal import (
     valuemetric_branches,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 TINY_UNET = sm.UNetConfig(in_channels=1, out_channels=1, z_channels=8,
                           num_blocks=1, z_channels_mults=(1, 2), norm_groups=4)
 TINY_CN = sm.ConvNeXtConfig(depths=(1, 1), dims=(8, 16), out_dim=8)

@@ -10,6 +10,8 @@ parity with published checkpoints.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402

@@ -10,6 +10,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: run the fast tier with -m "not slow"
+
 TOOL = os.path.join(REPO, "tools", "validate_converters.py")
 
 

@@ -11,9 +11,11 @@ window hash of its own history, the audio streams use the fixed seed hash
 
 The reference's CUDA-graph streaming step becomes the body of a `lax.scan`;
 the per-frame depformer loop is a static K-step unroll inside the scan.
-Backbone layers use the shared Llama block implementation — converting real
-Moshi weights additionally needs its gating variants (later round); all
-generation mechanics (delays, hooks, caches) are complete.
+Backbone layers use the shared Llama block implementation; real Moshi
+weights convert via :func:`wmar_tpu.utils.convert.convert_moshi_lm`
+(including the gating FFN variants), generation-parity-tested against the
+reference's own ``LMGen`` in ``tests/test_moshi_parity.py``. All generation
+mechanics (delays, hooks, caches) are complete.
 """
 
 from __future__ import annotations

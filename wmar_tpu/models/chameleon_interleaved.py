@@ -283,11 +283,18 @@ def sample_interleaved_fused(
             )
             last = logits[:, -1]
 
-        def process(last3, mode, counts, img_buf, img_count, images_done, step):
+        def process(last3, mode, counts, img_buf, img_count, images_done, step,
+                    text_count):
             # text path (row 0 only)
             lt = last3[0].astype(jnp.float32)
             lt = repetition_penalty_mask(lt, counts, text_opts.repetition_penalty)
-            allow_boi = images_done < max_images
+            # <boi> only while a full image (+<eoi>) still fits the budget —
+            # the reference's DisallowTokensAtOrAfterIndexLogitsProcessor on
+            # begin_image at max_seq_len-1026 (chameleon.py:275-279)
+            remaining = budget - (step + 2)
+            allow_boi = (images_done < max_images) & (
+                remaining >= image_seq_len + 1
+            )
             tmask = text_ok_j | (img_ok_j * 0)
             tmask = tmask.at[vocab.boi_id].set(allow_boi)
             lt = jnp.where(tmask, lt, jnp.float32(-1e10))
@@ -309,11 +316,19 @@ def sample_interleaved_fused(
                 k, li[None], temperature=temp_img, top_p=top_p_img,
                 greedy=gen_params.greedy,
             )[0]
+            # per-segment max_gen_len: at the cap, open an image if one is
+            # still budgeted, else end the turn (Options.Text.max_gen_len)
+            cap = text_count >= text_opts.max_gen_len
+            tok_text = jnp.where(
+                cap,
+                jnp.where(allow_boi, vocab.boi_id, vocab.eos_id),
+                tok_text,
+            )
             return jnp.where(mode == 0, tok_text, tok_img)
 
         def body(carry, step):
             (cache, key_mask, prev, mode, img_buf, img_count, images_done,
-             counts, done, pos_ctr) = carry
+             counts, done, pos_ctr, text_count) = carry
             wp = lp + step
             toks = jnp.tile(prev[None, None], (3, 1))
             # each row rotates this token at its own compacted position
@@ -323,7 +338,7 @@ def sample_interleaved_fused(
             )
             pos_ctr = pos_ctr + key_mask[:, wp].astype(jnp.int32)
             tok = process(last3[:, -1], mode, counts, img_buf, img_count,
-                          images_done, step)
+                          images_done, step, text_count)
             # forced <eoi> once the image segment is complete
             img_full = (mode == 1) & (img_count >= image_seq_len)
             tok = jnp.where(img_full, vocab.eoi_id, tok)
@@ -358,12 +373,18 @@ def sample_interleaved_fused(
             img_count = jnp.where(is_boi, 0, jnp.where(is_img_tok, img_count + 1, img_count))
             images_done = images_done + jnp.where(is_eoi, 1, 0)
             mode = jnp.where(is_boi, 1, jnp.where(is_eoi, 0, mode))
+            # text-segment length: +1 per text token, reset when a segment
+            # boundary (<boi> out of text, <eoi> back into text) is crossed
+            text_count = jnp.where(
+                is_boi | is_eoi, 0,
+                text_count + ((mode == 0) & ~done).astype(jnp.int32),
+            )
             done = done | is_eos
             # uncond-row reset: its valid set collapses to {bos}, so its next
             # token (the <boi> just written) sits at compacted position 1
             pos_ctr = jnp.where(is_boi, pos_ctr.at[2].set(1), pos_ctr)
             carry = (cache, key_mask, tok, mode, img_buf, img_count,
-                     images_done, counts, done, pos_ctr)
+                     images_done, counts, done, pos_ctr, text_count)
             return carry, tok
 
         img_buf0 = jnp.zeros((image_seq_len,), jnp.int32)
@@ -374,7 +395,7 @@ def sample_interleaved_fused(
         # first sampled token comes from the prefill logits; apply the same
         # transition logic the scan body uses (a <boi> here switches mode)
         tok0 = process(last, jnp.int32(0), counts0, img_buf0, jnp.int32(0),
-                       jnp.int32(0), jnp.int32(-1))
+                       jnp.int32(0), jnp.int32(-1), jnp.int32(0))
         is_boi0 = tok0 == vocab.boi_id
         key_mask1 = key_mask0.at[0, lp].set(True).at[1, lp].set(is_boi0)
         key_mask1 = jax.lax.cond(
@@ -392,7 +413,8 @@ def sample_interleaved_fused(
         ])
         carry0 = (cache, key_mask1, tok0, jnp.where(is_boi0, 1, 0).astype(jnp.int32),
                   img_buf0, jnp.int32(0), jnp.int32(0), counts0.at[tok0].add(1),
-                  tok0 == vocab.eos_id, pos_ctr0)
+                  tok0 == vocab.eos_id, pos_ctr0,
+                  jnp.where(is_boi0, 0, 1).astype(jnp.int32))
         _, toks = jax.lax.scan(body, carry0, jnp.arange(budget - 1, dtype=jnp.int32))
         return jnp.concatenate([tok0[None], toks])
 

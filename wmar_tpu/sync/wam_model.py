@@ -8,9 +8,11 @@ additive watermark delta; the extractor predicts a presence mask + the 32
 bits per pixel. JND attenuation bounds visibility.
 
 This provides the trainable backbone behind
-:class:`wmar_tpu.sync.wam_logic.WamSync` (quadrant synchronization) — usable
-from scratch via :func:`make_train_step`, or with converted ``wam_mit.pth``
-weights once the exact ViT variant is matched (tracked for a later round).
+:class:`wmar_tpu.sync.wam_logic.WamSync` (quadrant synchronization), usable
+from scratch via :func:`make_train_step`. For the exact ``wam_mit.pth``
+architecture (VAE encoder + SAM ViT detector + JND), use
+:mod:`wmar_tpu.sync.wam_exact`, which is weight-compatible and
+parity-tested in ``tests/test_wam_parity.py``.
 """
 
 from __future__ import annotations
