@@ -17,11 +17,14 @@ statistically uniform and deterministic given (salt, key, token).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-# murmur3 / splitmix constants
-_C1 = jnp.uint32(0x85EBCA6B)
-_C2 = jnp.uint32(0xC2B2AE35)
-_GOLDEN = jnp.uint32(0x9E3779B9)
+# murmur3 / splitmix constants — numpy scalars, NOT jnp: a module-level jax
+# array would initialize the XLA backend at import, breaking any later
+# jax.distributed.initialize (multi-host bring-up imports this package first)
+_C1 = np.uint32(0x85EBCA6B)
+_C2 = np.uint32(0xC2B2AE35)
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
 def fmix32(h: jnp.ndarray) -> jnp.ndarray:

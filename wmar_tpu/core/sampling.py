@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from wmar_tpu.core.spec import SeedStrategy, WatermarkSpec
 
-NEG_INF = jnp.float32(-1e10)
+NEG_INF = float(-1e10)  # plain float: a module-level jnp array would init the XLA backend at import, breaking later jax.distributed.initialize
 
 
 # ---------------------------------------------------------------------------

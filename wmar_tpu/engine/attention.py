@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = float(-1e30)  # plain float: a module-level jnp array would init the XLA backend at import, breaking later jax.distributed.initialize
 
 
 def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mask=None):

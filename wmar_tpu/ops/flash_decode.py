@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = float(-1e30)  # plain float: a module-level jnp array would init the XLA backend at import, breaking later jax.distributed.initialize
 
 
 def _attn_body(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref, km_ref=None):

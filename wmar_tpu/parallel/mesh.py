@@ -98,15 +98,27 @@ def init_multihost(coordinator_address: Optional[str] = None):
     """Multi-host bring-up: `jax.distributed.initialize` discovers peers via
     the TPU pod runtime (the reference's ``init_distributed_mode``
     equivalent); SLURM/torchrun rendezvous env is honored when present."""
-    if jax.process_count() > 1:
+    # NOTE: must not call jax.process_count()/jax.devices() here — touching
+    # the backend before jax.distributed.initialize makes initialization
+    # impossible. Check the distributed client state directly.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = parse_distributed_env()
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
+    if kwargs.get("num_processes", 1) > 1 or coordinator_address is not None:
+        # a launcher/rendezvous env IS present: failures must be loud — a
+        # swallowed init here silently degrades an N-host job to N separate
+        # single-host jobs (and jax.distributed.initialize must run before
+        # ANY backend-touching jax call; this package imports are safe)
+        jax.distributed.initialize(**kwargs)
+        return
     try:
         jax.distributed.initialize(**kwargs)
     except Exception:
-        pass  # single-host
+        pass  # single-host, no rendezvous env: stay single-process
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = float(-1e30)  # plain float: a module-level jnp array would init the XLA backend at import, breaking later jax.distributed.initialize
 
 
 def _ring_body(q, k, v, km, start, *, axis_name: str, n: int, scale: float):
