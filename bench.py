@@ -1,19 +1,29 @@
 #!/usr/bin/env python
-"""Headline benchmark: watermarked 256px RAR-XL samples/sec on one chip.
+"""Headline benchmark: watermarked imgs/sec on one chip, per model family.
 
-Generates class-conditional ImageNet-256 images with the full pipeline —
-fused greenlist watermark in a 256-step `lax.scan` decode with in-batch CFG
-(2B rows), then MaskGit-VQGAN decode to pixels — and reports images/sec.
+BENCH_MODEL selects the family (all three of BASELINE.json's "watermarked
+imgs/sec/chip (Taming/RAR/Anole)" targets):
+
+- ``rar`` (default): RAR-XL 256px class-conditional — fused greenlist
+  watermark in a 256-step `lax.scan` decode with in-batch CFG (2B rows),
+  then MaskGit-VQGAN decode to pixels.
+- ``taming``: Taming cin_transformer at the published 1.4B geometry
+  (48L/1664d/16H, vocab 16384, ``reference deps/taming`` net2net GPT) —
+  class token prefill + 256-step watermarked decode + f16 VQGAN decode.
+- ``chameleon``: Chameleon-7B (CHAMELEON_7B llama geometry, 65536 vocab,
+  int8 weights + packed int8 KV cache) — instruct-CFG t2i, 1024-token
+  image segment at 512px, watermarked decode + VQGAN decode.
 
 Baseline: the driver's target of >= 5000 watermarked 256px samples/hour/chip
-on RAR-XL (1.389 imgs/s); the reference generates RAR batches of 10 on one
-A100-class GPU per chunk (``configs/rar_generate.json``).
+(1.389 imgs/s); the reference generates batches of 5-10 on one A100-class
+GPU per chunk (``configs/{taming,rar,chameleon}_generate.json``).
 
 Weights are random (the published checkpoints are not fetchable in this
 environment); throughput is architecture+shape bound, not weight bound.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-Env knobs: BENCH_BATCH (default 64), BENCH_ITERS (default 3), BENCH_TINY=1.
+Env knobs: BENCH_MODEL (rar|taming|chameleon), BENCH_BATCH, BENCH_ITERS,
+BENCH_TINY=1, BENCH_CACHE (packed|int8|bf16|f32|int4|packed4), BENCH_W8.
 """
 
 from __future__ import annotations
@@ -52,9 +62,31 @@ def _bind_backend(timeout_s: float = 600.0):
     return out[0]
 
 
-def main():
+def _cache_dtype():
+    # Packed int8 KV cache by default: same per-(token, head) quantization
+    # as int8 (bit-identical cache values, ~0.4% noise), stored [T, H*D] and
+    # read by the batch-blocked Pallas decode kernel — measured 26.5 imgs/s
+    # vs 25.0 for the XLA int8 path and 22.4 bf16 on the tunneled v5e.
+    cache_env = os.environ.get("BENCH_CACHE", "packed")
+    return {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32,
+            "int4": "int4", "packed": "packed", "packed4": "packed4"}[cache_env]
+
+
+def _watermark_spec(vocab_size):
     from wmar_tpu.core import WatermarkSpec
     from wmar_tpu.core.spec import SeedStrategy, SplitStrategy
+
+    return WatermarkSpec(
+        vocab_size=vocab_size,
+        seed_strategy=SeedStrategy.LINEAR,
+        split_strategy=SplitStrategy.RANDOM,
+        context_size=1,
+        delta=2.0,
+        gamma=0.25,
+    )
+
+
+def build_rar(tiny):
     from wmar_tpu.models import (
         GenParams,
         MASKGIT_IMAGENET_F16,
@@ -64,10 +96,6 @@ def main():
         init_rar_params,
         rar_config,
     )
-
-    tiny = os.environ.get("BENCH_TINY", "0") == "1" or _bind_backend()[0].platform == "cpu"
-    batch = int(os.environ.get("BENCH_BATCH", "4" if tiny else "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "1" if tiny else "3"))
 
     if tiny:
         from wmar_tpu.models import RARConfig
@@ -95,62 +123,162 @@ def main():
     vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3)))
     vq_params = jax.tree.map(lambda x: x.astype(dtype), vq_params)
 
-    # Packed int8 KV cache by default: same per-(token, head) quantization
-    # as int8 (bit-identical cache values, ~0.4% noise), stored [T, H*D] and
-    # read by the batch-blocked Pallas decode kernel — measured 26.5 imgs/s
-    # vs 25.0 for the XLA int8 path and 22.4 bf16 on the tunneled v5e
-    # (BENCH_CACHE={int8,bf16,f32,int4} to compare).
-    cache_env = os.environ.get("BENCH_CACHE", "packed")
-    cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32,
-                   "int4": "int4", "packed": "packed",
-                   "packed4": "packed4"}[cache_env]
-    wrapper = RarARMM(rar_params, rar_cfg, vq_params, vq_cfg, cache_dtype=cache_dtype)
-    spec = WatermarkSpec(
-        vocab_size=rar_cfg.codebook_size,
-        seed_strategy=SeedStrategy.LINEAR,
-        split_strategy=SplitStrategy.RANDOM,
-        context_size=1,
-        delta=2.0,
-        gamma=0.25,
-    )
-    wrapper.set_watermarker(spec)
+    wrapper = RarARMM(rar_params, rar_cfg, vq_params, vq_cfg, cache_dtype=_cache_dtype())
+    wrapper.set_watermarker(_watermark_spec(wrapper.get_total_vocab_size()))
     # Reference RAR sampling: plain multinomial after CFG (rar.py:452-455),
     # constant guidance 4.0 (rar_wrapper.py:92-101).
     gen = GenParams(temperature=1.0, top_k=None, top_p=None,
                     guidance_scale=4.0, guidance_scale_pow=0.0)
+    size = os.environ.get("BENCH_SIZE", "rar_xl")
 
-    classes = np.arange(batch) % rar_cfg.num_classes
-
-    def one_batch(rng):
+    def one_batch(batch, rng):
+        classes = np.arange(batch) % rar_cfg.num_classes
         codes = wrapper.sample(classes, gen, apply_watermark=True, rng=rng)
-        imgs = wrapper.codes_to_images(codes)
-        return codes, imgs
+        return wrapper.codes_to_images(codes)
+
+    return one_batch, f"watermarked_{size}_256px", 64
+
+
+def build_taming(tiny):
+    from wmar_tpu.models import (
+        GenParams,
+        GPTConfig,
+        TAMING_IMAGENET_F16,
+        TamingARMM,
+        TamingVQGAN,
+        VQGANConfig,
+        init_gpt_params,
+    )
+
+    if tiny:
+        gpt_cfg = GPTConfig(vocab_size=64, block_size=300, n_layer=2, n_head=2, n_embd=32)
+        vq_cfg = VQGANConfig(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                             attn_resolutions=(16,), z_channels=32, n_embed=64, embed_dim=16)
+    else:
+        # published cin_transformer geometry (1.4B params; generate.py has
+        # the same literal) — the BASELINE "Taming" family
+        gpt_cfg = GPTConfig(vocab_size=16384, block_size=512, n_layer=48,
+                            n_head=16, n_embd=1664)
+        vq_cfg = TAMING_IMAGENET_F16
+
+    dtype = jnp.bfloat16
+    gpt_params = init_gpt_params(jax.random.PRNGKey(0), gpt_cfg, dtype=dtype)
+    vq = TamingVQGAN(vq_cfg)
+    vq_params = vq.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3)))
+    vq_params = jax.tree.map(lambda x: x.astype(dtype), vq_params)
+
+    wrapper = TamingARMM(gpt_params, gpt_cfg, vq_params, vq_cfg,
+                         cache_dtype=_cache_dtype())
+    wrapper.set_watermarker(_watermark_spec(wrapper.get_total_vocab_size()))
+    # configs/taming_generate.json sampling params (reference grid)
+    gen = GenParams(temperature=1.0, top_k=250, top_p=0.92)
+
+    def one_batch(batch, rng):
+        classes = np.arange(batch) % 1000
+        codes = wrapper.sample(classes, gen, apply_watermark=True, rng=rng)
+        return wrapper.codes_to_images(codes)
+
+    return one_batch, "watermarked_taming1.4b_256px", 32
+
+
+def build_chameleon(tiny):
+    from wmar_tpu.models import (
+        CHAMELEON_F16,
+        CHAMELEON_7B,
+        ChameleonARMM,
+        ChameleonVocab,
+        GenParams,
+        LlamaConfig,
+        TamingVQGAN,
+        VQGANConfig,
+    )
+    from wmar_tpu.models.llama import init_llama_params, quantize_llama_params_int8
+
+    if tiny:
+        vocab = ChameleonVocab.synthetic(n_codes=16, n_text=20)
+        lcfg = LlamaConfig(dim=32, n_layers=2, n_heads=4,
+                           vocab_size=vocab.vocab_size, multiple_of=16,
+                           qk_normalization=True)
+        vq_cfg = VQGANConfig(resolution=8, ch=32, ch_mult=(1, 2),
+                             num_res_blocks=1, attn_resolutions=(),
+                             z_channels=32, n_embed=16, embed_dim=8)
+        image_seq_len = 16
+    else:
+        # CHAMELEON_7B geometry with a synthetic full-size vocab (8192 image
+        # codes + text fill to the 65536-entry table; random weights — see
+        # module docstring). int8 weights + packed KV: the serving config
+        # proven equivalent in tools/compare_cache_quality.py.
+        lcfg = CHAMELEON_7B
+        vq_cfg = CHAMELEON_F16
+        vocab = ChameleonVocab.synthetic(
+            n_codes=8192, n_text=lcfg.vocab_size - 8192 - 6)
+        image_seq_len = 1024
+
+    dtype = jnp.bfloat16
+    params = init_llama_params(jax.random.PRNGKey(0), lcfg, dtype=dtype)
+    if not tiny and os.environ.get("BENCH_W8", "1") == "1":
+        # donate: 7B bf16 (~14 GB) + int8 copy would exceed one v5e's HBM
+        params = quantize_llama_params_int8(params, compute_dtype=dtype,
+                                            donate=True)
+    vq = TamingVQGAN(vq_cfg)
+    vq_params = vq.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3)))
+    vq_params = jax.tree.map(lambda x: x.astype(dtype), vq_params)
+
+    tok = lambda text: [6 + (ord(c) % 20) for c in text[:16]]  # noqa: E731
+    wrapper = ChameleonARMM(
+        params, lcfg, vocab, vq_params, vq_cfg, tokenizer=tok,
+        image_seq_len=image_seq_len,
+        cache_dtype=jnp.float32 if tiny else _cache_dtype(),
+    )
+    wrapper.set_watermarker(_watermark_spec(wrapper.get_total_vocab_size()))
+    # configs/chameleon_generate.json sampling params; instruct-CFG scales
+    # (3.0 text / 1.2 image) are the wrapper's cfg_opts defaults.
+    gen = GenParams(temperature=0.9, top_k=None, top_p=0.9)
+    prompts = [f"a photo of object {i}" for i in range(1024)]
+
+    def one_batch(batch, rng):
+        codes = wrapper.sample(prompts[:batch], gen, apply_watermark=True, rng=rng)
+        return wrapper.codes_to_images(codes)
+
+    return one_batch, "watermarked_chameleon7b_512px", 4
+
+
+BUILDERS = {"rar": build_rar, "taming": build_taming, "chameleon": build_chameleon}
+
+
+def main():
+    model = os.environ.get("BENCH_MODEL", "rar")
+    tiny = os.environ.get("BENCH_TINY", "0") == "1" or _bind_backend()[0].platform == "cpu"
+    one_batch, metric, default_batch = BUILDERS[model](tiny)
+    batch = int(os.environ.get("BENCH_BATCH", "4" if tiny else str(default_batch)))
+    iters = int(os.environ.get("BENCH_ITERS", "1" if tiny else "3"))
 
     # Warmup / compile
     t0 = time.time()
-    codes, imgs = one_batch(jax.random.PRNGKey(100))
+    imgs = one_batch(batch, jax.random.PRNGKey(100))
     jax.block_until_ready(imgs)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for i in range(iters):
-        codes, imgs = one_batch(jax.random.PRNGKey(i))
+        imgs = one_batch(batch, jax.random.PRNGKey(i))
     jax.block_until_ready(imgs)
     dt = time.time() - t0
 
     imgs_per_sec = batch * iters / dt
-    size = os.environ.get("BENCH_SIZE", "rar_xl")
     result = {
-        "metric": f"watermarked_{size}_256px_imgs_per_sec_per_chip" if not tiny
-        else "watermarked_rar_tiny_imgs_per_sec (TINY MODE)",
+        "metric": f"{metric}_imgs_per_sec_per_chip" if not tiny
+        else f"{metric}_tiny_imgs_per_sec (TINY MODE)",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/s",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
     }
     print(json.dumps(result))
     if os.environ.get("BENCH_VERBOSE"):
-        print(f"# batch={batch} iters={iters} gen_s={dt:.2f} compile_s={compile_s:.1f} "
-              f"platform={jax.devices()[0].platform}")
+        print(f"# model={model} batch={batch} iters={iters} gen_s={dt:.2f} "
+              f"compile_s={compile_s:.1f} platform={jax.devices()[0].platform}")
     return result
 
 

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--size", type=str, default="rar_xl")
     ap.add_argument("--caches", type=str, default="packed,packed4,int8")
+    ap.add_argument("--tpr", action="store_true",
+                    help="also report detection TPR@p<0.01 under token-"
+                         "erosion surrogates of the attack grid (see "
+                         "tpr_table docstring for why surrogates)")
     args = ap.parse_args()
 
     from wmar_tpu.core import HashGreenlist, WatermarkSpec
@@ -105,6 +109,63 @@ def main():
               f"green-frac delta {abs(base['frac'].mean() - r['frac'].mean()):.4f}  "
               f"-log10(p) delta {abs(base['lp'].mean() - r['lp'].mean()):.2f}",
               flush=True)
+
+    if args.tpr:
+        tpr_table(spec, greenlist, results, cfg.codebook_size)
+
+
+def tpr_table(spec, greenlist, results, vocab, tau=1e-2):
+    """Detection TPR@p<tau per cache dtype under token-erosion surrogates.
+
+    Why surrogates and not the pixel attack grid: with random VQGAN weights
+    (the only weights available here — zero egress) the decode→encode
+    roundtrip replaces ~97% of tokens (measured, assets/golden_e2e.json
+    l0≈0.97), i.e. pixel attacks detect at chance for EVERY cache dtype and
+    the comparison is vacuous. What pixel attacks do to a *trained*
+    tokenizer is erode a fraction of tokens; these surrogates apply that
+    erosion directly to the watermarked codes — identical mechanics across
+    cache dtypes, same erosion rng — so TPR deltas isolate exactly what the
+    flip decision needs: whether int4 cache noise weakens the watermark's
+    survival margin. Canonical grid params map ≈ to erosion rates via the
+    reference's measured l0 curves (analyzer tables).
+    """
+    from wmar_tpu.core.detect import detect
+
+    rng = np.random.default_rng(123)
+    t = next(iter(results.values()))["codes"].reshape(
+        len(next(iter(results.values()))["codes"]), -1).shape[1]
+    n = len(next(iter(results.values()))["codes"])
+
+    # shared erosion patterns (same for every cache dtype)
+    erosions = {}
+    for rate in (0.0, 0.1, 0.25, 0.4, 0.6):
+        mask = rng.random((n, t)) < rate
+        repl = rng.integers(0, vocab, size=(n, t))
+        erosions[f"token-noise {int(rate*100)}%"] = ("noise", mask, repl)
+    erosions["crop 50% (window)"] = ("crop", t // 4, t // 4 + t // 2)
+    # unwatermarked control: detection on uniform random codes (FPR row)
+    rand_codes = rng.integers(0, vocab, size=(n, t))
+
+    names = list(results)
+    print(f"\nTPR@p<{tau:g} under token-erosion surrogates "
+          f"(n={n}/cell):")
+    header = f"{'surrogate':22s} " + " ".join(f"{nm:>8s}" for nm in names)
+    print(header)
+    for ename, e in erosions.items():
+        row = []
+        for nm in names:
+            codes = results[nm]["codes"].reshape(n, -1)
+            if e[0] == "noise":
+                _, mask, repl = e
+                attacked = np.where(mask, repl, codes)
+            else:
+                _, lo, hi = e
+                attacked = codes[:, lo:hi]
+            p = np.asarray(detect(spec, greenlist, jnp.asarray(attacked)))
+            row.append((p < tau).mean())
+        print(f"{ename:22s} " + " ".join(f"{v:8.3f}" for v in row), flush=True)
+    fpr = (np.asarray(detect(spec, greenlist, jnp.asarray(rand_codes))) < tau).mean()
+    print(f"{'FPR (random codes)':22s} {fpr:8.3f}")
 
 
 if __name__ == "__main__":

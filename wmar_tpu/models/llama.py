@@ -310,7 +310,7 @@ def llama_prefill_sp(
 WEIGHT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w3", "w2")
 
 
-def quantize_llama_params_int8(params, compute_dtype=None):
+def quantize_llama_params_int8(params, compute_dtype=None, donate=False):
     """Weight-only int8 for every block linear + the vocab head.
 
     7B Chameleon: bf16 weights are ~14 GB — larger than one v5e's HBM; int8
@@ -319,14 +319,25 @@ def quantize_llama_params_int8(params, compute_dtype=None):
     not matmul). Composes with :func:`llama_tp_specs` — quantized leaves get
     megatron specs with the per-output-channel scale sharded alongside the
     output dim.
+
+    ``donate=True`` frees each float device buffer as soon as it has been
+    quantized (``Array.delete()``): at 7B the bf16 tree (~14 GB) plus a
+    growing int8 copy exceeds one v5e's HBM, so quantizing after a
+    full-geometry on-device init only fits if the walk is destructive.
+    The input tree must not be used afterwards.
     """
+    def quant(v):
+        q = wquant.quantize_matrix_int8(v)
+        if donate and isinstance(v, jax.Array):
+            v.delete()
+        return q
+
     out = dict(params)
     out["blocks"] = [
-        {k: (wquant.quantize_matrix_int8(v) if k in WEIGHT_KEYS else v)
-         for k, v in blk.items()}
+        {k: (quant(v) if k in WEIGHT_KEYS else v) for k, v in blk.items()}
         for blk in params["blocks"]
     ]
-    out["output"] = wquant.quantize_matrix_int8(params["output"])
+    out["output"] = quant(params["output"])
     if compute_dtype is not None:
         out["tok_embeddings"] = jnp.asarray(params["tok_embeddings"]).astype(compute_dtype)
         out["norm"] = jnp.asarray(params["norm"]).astype(compute_dtype)
