@@ -321,16 +321,18 @@ def quantize_llama_params_int8(params, compute_dtype=None, donate=False):
     output dim.
 
     ``donate=True`` frees each float device buffer as soon as it has been
-    quantized (``Array.delete()``): at 7B the bf16 tree (~14 GB) plus a
-    growing int8 copy exceeds one v5e's HBM, so quantizing after a
-    full-geometry on-device init only fits if the walk is destructive.
-    The input tree must not be used afterwards.
+    quantized (``Array.delete()``) and quantizes ON DEVICE: at 7B the bf16
+    tree (~14 GB) plus a growing int8 copy exceeds one v5e's HBM, so
+    quantizing after a full-geometry on-device init only fits if the walk
+    is destructive — and the host-roundtrip quantizer would drag ~14 GB
+    over the (tunneled) link. The input tree must not be used afterwards.
     """
     def quant(v):
-        q = wquant.quantize_matrix_int8(v)
         if donate and isinstance(v, jax.Array):
+            q = wquant.quantize_matrix_int8_device(v)
             v.delete()
-        return q
+            return q
+        return wquant.quantize_matrix_int8(v)
 
     out = dict(params)
     out["blocks"] = [
