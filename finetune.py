@@ -49,6 +49,19 @@ def get_parser():
                         "multiplied by this after every epoch (reference "
                         "finetune.py:502-506)")
     p.add_argument("--loss", type=str, default="hard-to-soft-with-ae")
+    p.add_argument("--disable_gan", action="store_true",
+                   help="skip the generator-side GAN branch (all six "
+                        "published reference sweeps pass this)")
+    p.add_argument("--disc_ckpt", type=str, default=None,
+                   help="discriminator.msgpack (emitted by convert_ckpt "
+                        "taming); default: <modelpath>/discriminator.msgpack")
+    p.add_argument("--disc_init", type=str, choices=["ckpt", "random"],
+                   default="ckpt",
+                   help="'random': fresh weights_init discriminator when no "
+                        "checkpoint is available (tiny/synthetic smoke)")
+    p.add_argument("--disc_start", type=int, default=0)
+    p.add_argument("--disc_factor", type=float, default=1.0)
+    p.add_argument("--disc_weight", type=float, default=1.0)
     p.add_argument("--outdir", type=str, required=True)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log_every", type=int, default=50)
@@ -185,6 +198,38 @@ def main(argv=None):
             lpips_params = flax.serialization.msgpack_restore(f.read())
     perceptual = PerceptualLoss(lpips_params)
 
+    # GAN branch (reference semantics: taming-only, frozen checkpoint
+    # discriminator, generator-side loss term; finetune.py:288-291).
+    gan = None
+    if not args.disable_gan and args.model == "taming":
+        from wmar_tpu.finetune.gan import GanConfig, init_taming_discriminator
+
+        disc_path = args.disc_ckpt or (
+            os.path.join(args.modelpath, "discriminator.msgpack")
+            if args.modelpath else "")
+        disc_params = None
+        if disc_path and os.path.exists(disc_path):
+            import flax.serialization
+
+            with open(disc_path, "rb") as f:
+                tree = flax.serialization.msgpack_restore(f.read())
+            disc_params = [tree["layers"][str(i)] if isinstance(tree["layers"], dict)
+                           else tree["layers"][i]
+                           for i in range(len(tree["layers"]))]
+            print(f"GAN branch on: discriminator from {disc_path}")
+        elif args.disc_init == "random":
+            disc_params = init_taming_discriminator(jax.random.PRNGKey(args.seed))
+            print("GAN branch on: RANDOM-INIT discriminator (smoke mode; "
+                  "convert the checkpoint's discriminator for real runs)")
+        else:
+            print("GAN branch requested but no discriminator checkpoint "
+                  "found; proceeding GAN-off (pass --disc_init random or "
+                  "--disc_ckpt to enable)")
+        if disc_params is not None:
+            gan = GanConfig.create(
+                disc_params, disc_factor=args.disc_factor,
+                disc_weight=args.disc_weight, disc_start=args.disc_start)
+
     # Curriculum: epochs -> level name
     if args.augs == "none":
         levels = ["warmup"] * args.nb_epochs
@@ -267,7 +312,8 @@ def main(argv=None):
 
                 cfg_e = _dc.replace(cfg, idem_weight=idem_w)
                 steps[skey] = jax.jit(
-                    make_train_step(adapter, cfg_e, level, optimizer, perceptual)
+                    make_train_step(adapter, cfg_e, level, optimizer, perceptual,
+                                    gan=gan)
                 )
             step_fn = steps[skey]
             # Validation first, like the reference (finetune.py:388-392).

@@ -68,6 +68,18 @@ def main(argv=None):
         vq = convert.convert_taming_vqgan(sd, TAMING_IMAGENET_F16, prefix="first_stage_model.")
         ckpt_io.save_pytree(os.path.join(args.outdir, "gpt.msgpack"), gpt)
         ckpt_io.save_pytree(os.path.join(args.outdir, "vqgan.msgpack"), vq)
+        # the VQGAN checkpoint's trained PatchGAN discriminator (used by the
+        # RCC GAN branch unless --disable_gan, like the reference's
+        # VQLPIPSWithDiscriminator)
+        for disc_prefix in ("first_stage_model.loss.discriminator.main.",
+                            "loss.discriminator.main."):
+            if any(k.startswith(disc_prefix) for k in sd):
+                from wmar_tpu.finetune.gan import convert_taming_discriminator
+
+                ckpt_io.save_pytree(
+                    os.path.join(args.outdir, "discriminator.msgpack"),
+                    {"layers": convert_taming_discriminator(sd, disc_prefix)})
+                break
         with open(os.path.join(args.outdir, "config.json"), "w") as f:
             json.dump({"gpt": gpt_cfg.__dict__}, f)
     elif args.kind == "rar":

@@ -289,14 +289,22 @@ def make_train_step(
     level: str,
     optimizer,
     perceptual: Optional[PerceptualLoss] = None,
+    gan=None,
 ):
-    """Build the jittable train step for one curriculum level."""
+    """Build the jittable train step for one curriculum level.
+
+    ``gan``: optional :class:`wmar_tpu.finetune.gan.GanConfig` — enables the
+    reference's generator-side GAN branch (``vqperceptual.py:95-113``):
+    ``loss += d_weight * disc_factor * (-mean(D(xrec)))`` against a frozen
+    PatchGAN discriminator, with the adaptive grad-norm ``d_weight`` taken
+    on the decoder's final conv kernel. All published sweeps disable it
+    (``--disable_gan``); it is here for loss-surface parity."""
     branches = expand_level(level)
     logits = _branch_logits(level) if branches else None
     perceptual = perceptual or PerceptualLoss()
     side = adapter.latent_side
 
-    def loss_fn(trainable, codes, rng):
+    def loss_fn(trainable, codes, rng, step):
         z_q = adapter.lookup(codes)
         xrec = adapter.decode(trainable["decoder"], z_q)
         xrec_orig = jax.lax.stop_gradient(adapter.decode_orig(z_q))
@@ -314,11 +322,42 @@ def make_train_step(
         idem = (sq * m).sum() / (m.sum() * sq.shape[0] * sq.shape[-1])
         loss = rec_l1 + p_loss + cfg.idem_weight * idem
         metrics = {"loss": loss, "rec_l1": rec_l1, "perceptual": p_loss, "idem": idem}
+
+        if gan is not None:
+            from wmar_tpu.finetune.gan import (
+                adaptive_weight, adopt_weight, discriminator_forward,
+                last_kernel, replace_last_kernel,
+            )
+
+            disc = list(gan.disc_params)
+            g_loss = -jnp.mean(discriminator_forward(disc, xrec))
+            # Adaptive weight: two focused backwards wrt ONLY the final
+            # conv_out kernel, on a detached copy so the outer AD does not
+            # differentiate through the inner grads (d_weight is detached
+            # in the reference too, vqperceptual.py:77).
+            dec_sg = jax.lax.stop_gradient(trainable["decoder"])
+            lk = last_kernel(dec_sg)
+
+            def nll_of_last(k):
+                xr = adapter.decode(replace_last_kernel(dec_sg, k), z_q)
+                return jnp.abs(xrec_orig - xr).mean() + perceptual(xrec_orig, xr).mean()
+
+            def g_of_last(k):
+                xr = adapter.decode(replace_last_kernel(dec_sg, k), z_q)
+                return -jnp.mean(discriminator_forward(disc, xr))
+
+            d_weight = adaptive_weight(jax.grad(nll_of_last)(lk),
+                                       jax.grad(g_of_last)(lk), gan.disc_weight)
+            disc_factor = adopt_weight(gan.disc_factor, step, gan.disc_start)
+            loss = loss + d_weight * disc_factor * g_loss
+            metrics.update(loss=loss, vqgan_gan_loss=g_loss,
+                           vqgan_gan_weight=d_weight,
+                           vqgan_gan_factor=disc_factor)
         return loss, metrics
 
     def train_step(state: RCCState, codes: jnp.ndarray, rng: jax.Array):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable, codes, rng
+            state.trainable, codes, rng, state.step
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
