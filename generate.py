@@ -54,7 +54,8 @@ def get_parser():
                         "int4 (nibble-packed) halves them again at ~7%% noise; "
                         "packed = int8 in the [T, H*D] layout driven by the "
                         "batch-blocked Pallas decode kernel")
-    p.add_argument("--weight_dtype", type=str, default=None, choices=["int8"],
+    p.add_argument("--weight_dtype", type=str, default=None,
+                   choices=["int8", "int4"],
                    help="weight-only int8 for the generator's linears "
                         "(RAR/taming/chameleon): per-output-channel absmax, "
                         "weights stream from HBM as int8; activations stay "
@@ -363,22 +364,23 @@ def main(argv=None):
                                "int8": jnp.int8, "int4": "int4",
                                "packed": "packed",
                                "packed4": "packed4"}[args.cache_dtype]
-    if args.weight_dtype == "int8":
+    if args.weight_dtype in ("int8", "int4"):
+        bits = {"int8": 8, "int4": 4}[args.weight_dtype]
         if hasattr(wrapper, "rar_params"):
             from wmar_tpu.models.rar import quantize_rar_params_int8
 
             wrapper.rar_params = quantize_rar_params_int8(
-                wrapper.rar_params, compute_dtype=jnp.bfloat16)
+                wrapper.rar_params, compute_dtype=jnp.bfloat16, bits=bits)
         elif hasattr(wrapper, "gpt_params"):
             from wmar_tpu.models.taming_gpt import quantize_gpt_params_int8
 
             wrapper.gpt_params = quantize_gpt_params_int8(
-                wrapper.gpt_params, compute_dtype=jnp.bfloat16)
+                wrapper.gpt_params, compute_dtype=jnp.bfloat16, bits=bits)
         else:
             from wmar_tpu.models.llama import quantize_llama_params_int8
 
             wrapper.llama_params = quantize_llama_params_int8(
-                wrapper.llama_params, compute_dtype=jnp.bfloat16)
+                wrapper.llama_params, compute_dtype=jnp.bfloat16, bits=bits)
 
     if args.wm_method == "gentime":
         method = (

@@ -330,3 +330,72 @@ def test_gpt_int8_weights_greedy_agreement():
 
     agreement = (gen(params) == gen(quantize_gpt_params_int8(params))).mean()
     assert agreement >= 0.9, agreement
+
+
+def test_rar_int4_weights_greedy_agreement():
+    """Grouped-int4 weights (bits=4): greedy decode still tracks the float
+    model at tiny scale. int4 noise is larger than int8's, so the threshold
+    matches the int4 KV-cache test, not the int8 weight one."""
+    from wmar_tpu.models import RARConfig, RARSampler, init_rar_params
+    from wmar_tpu.models.rar import quantize_rar_params_int8
+
+    cfg = RARConfig(embed_dim=64, depth=2, num_heads=2, intermediate_size=128,
+                    image_seq_len=16, codebook_size=64, num_classes=10)
+    params = init_rar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    cids = jnp.arange(2, dtype=jnp.int32)
+
+    def gen(p):
+        s = RARSampler(p, cfg, cids, guidance_scale=4.0, cache_dtype=jnp.float32)
+        _, cache = s.prefill()
+        prev = jnp.zeros((2,), jnp.int32)
+        toks = []
+        for t in range(16):
+            logits, cache = s.step_fn(cache, prev, jnp.int32(t))
+            prev = jnp.argmax(logits, -1).astype(jnp.int32)
+            toks.append(np.asarray(prev))
+        return np.stack(toks, 1)
+
+    q4 = quantize_rar_params_int8(params, bits=4)
+    # the quantizer actually produced grouped-int4 leaves (not the int8
+    # fallback) for the divisible matrices
+    assert "w_q4" in q4["blocks"][0]["mlp"]["fc1"]
+    agreement = (gen(params) == gen(q4)).mean()
+    assert agreement >= 0.6, agreement
+
+
+def test_gpt_int4_weights_greedy_agreement():
+    """n_embd=128 (one full int4 group): at 32-wide the relative int4 noise
+    is ~4x larger and greedy agreement on a random 2-layer model collapses —
+    group-128 is the operating point the serving path actually uses."""
+    from wmar_tpu.models import GPTConfig, init_gpt_params
+    from wmar_tpu.models.taming_gpt import (
+        make_step_fn,
+        prefill,
+        quantize_gpt_params_int8,
+    )
+
+    cfg = GPTConfig(vocab_size=64, block_size=64, n_layer=2, n_head=2, n_embd=128)
+    params = init_gpt_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    cond = jnp.array([[3], [5]], dtype=jnp.int32)
+
+    def gen(p):
+        logits, cache = prefill(p, cfg, cond, max_len=32)
+        step = make_step_fn(p, cfg, cond_len=1)
+        prev = jnp.argmax(logits, -1).astype(jnp.int32)
+        toks = [np.asarray(prev)]
+        for t in range(1, 16):
+            logits, cache = step(cache, prev, jnp.int32(t))
+            prev = jnp.argmax(logits, -1).astype(jnp.int32)
+            toks.append(np.asarray(prev))
+        return np.stack(toks, 1)
+
+    q4 = quantize_gpt_params_int8(params, bits=4)
+    assert "q4" in q4["head"]
+    # direct quant-noise measure: prefill logits track the float model
+    ref_logits = np.asarray(prefill(params, cfg, cond, max_len=32)[0], np.float32)
+    q4_logits = np.asarray(prefill(q4, cfg, cond, max_len=32)[0], np.float32)
+    assert np.abs(q4_logits - ref_logits).max() <= 0.3 * np.abs(ref_logits).max()
+    # sequence agreement compounds any single divergence (conditioning, not
+    # per-step noise), so the bar is lower than the int8 one by design
+    agreement = (gen(params) == gen(q4)).mean()
+    assert agreement >= 0.5, agreement

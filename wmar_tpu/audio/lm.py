@@ -175,7 +175,7 @@ def init_moshi_params(rng: jax.Array, cfg: MoshiConfig, dtype=jnp.float32):
     }
 
 
-def quantize_moshi_params_int8(params, compute_dtype=None):
+def quantize_moshi_params_int8(params, compute_dtype=None, bits=8):
     """Weight-only int8 for the temporal backbone + text head.
 
     The temporal transformer is where Moshi's weight bytes are (~7B at
@@ -192,12 +192,12 @@ def quantize_moshi_params_int8(params, compute_dtype=None):
     out = dict(params)
     t = dict(params["temporal"])
     t["blocks"] = [
-        {k: (wquant.quantize_matrix_int8(v) if k in WEIGHT_KEYS else v)
+        {k: (wquant.quantize_matrix(v, bits=bits) if k in WEIGHT_KEYS else v)
          for k, v in blk.items()}
         for blk in t["blocks"]
     ]
     out["temporal"] = t
-    out["text_head"] = wquant.quantize_matrix_int8(params["text_head"])
+    out["text_head"] = wquant.quantize_matrix(params["text_head"], bits=bits)
     if compute_dtype is not None:
         out = wquant.cast_float_leaves(out, compute_dtype)
     return out

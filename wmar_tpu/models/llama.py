@@ -310,7 +310,8 @@ def llama_prefill_sp(
 WEIGHT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w3", "w2")
 
 
-def quantize_llama_params_int8(params, compute_dtype=None, donate=False):
+def quantize_llama_params_int8(params, compute_dtype=None, donate=False,
+                               bits=8):
     """Weight-only int8 for every block linear + the vocab head.
 
     7B Chameleon: bf16 weights are ~14 GB — larger than one v5e's HBM; int8
@@ -326,13 +327,19 @@ def quantize_llama_params_int8(params, compute_dtype=None, donate=False):
     quantizing after a full-geometry on-device init only fits if the walk
     is destructive — and the host-roundtrip quantizer would drag ~14 GB
     over the (tunneled) link. The input tree must not be used afterwards.
+
+    ``bits=4`` switches to grouped int4 (``{"q4","s4"}`` leaves, group 128
+    along the contraction — `wmar_tpu.ops.wquant.quantize_matrix_int4`):
+    ~3.5 GB of weight reads per 7B decode step instead of 7, the HBM-bound
+    regime's next halving. Token drift is larger than int8's; measured by
+    the same greedy-agreement tests, never assumed.
     """
     def quant(v):
         if donate and isinstance(v, jax.Array):
-            q = wquant.quantize_matrix_int8_device(v)
+            q = wquant.quantize_matrix(v, bits=bits, device=True)
             v.delete()
             return q
-        return wquant.quantize_matrix_int8(v)
+        return wquant.quantize_matrix(v, bits=bits)
 
     out = dict(params)
     out["blocks"] = [
@@ -354,11 +361,19 @@ def llama_tp_specs(params: dict) -> dict:
     Weight-only-int8 leaves (``{"q","s"}`` dicts) shard the same way: the
     int8 matrix gets the matrix spec; the per-output-channel scale shards
     with the output dim (column-parallel) or replicates (row-parallel,
-    where the output dim is unsharded)."""
+    where the output dim is unsharded). Grouped-int4 leaves
+    (``{"q4","s4"}``: nibbles ``[gc, G/2, n_out]``, scales ``[gc, n_out]``)
+    shard the within-group byte axis where the input dim was sharded (the
+    group-count axis can be as small as 1, the byte axis is always >= 16;
+    XLA all-reduces the split partial dots exactly like row-parallel int8)
+    and the trailing dim where the output dim was."""
 
     def mat_spec(w, spec: P) -> object:
-        if isinstance(w, dict):  # weight-only int8
-            out_axis = spec[1]  # "tp" for column-parallel, None for row
+        if isinstance(w, dict):
+            in_axis, out_axis = spec[0], spec[1]
+            if "q4" in w:  # grouped int4: [gc, G/2, n_out] + [gc, n_out]
+                return {"q4": P(None, in_axis, out_axis),
+                        "s4": P(None, out_axis)}
             return {"q": spec, "s": P(out_axis)}
         return spec
 

@@ -142,7 +142,7 @@ def _linear(x, p):
     return wquant.linear(x, p)
 
 
-def quantize_rar_params_int8(params, compute_dtype=None):
+def quantize_rar_params_int8(params, compute_dtype=None, bits=8):
     """Weight-only int8 for every decode-path linear.
 
     Embeddings and norms stay floating point; when ``compute_dtype`` is given
@@ -150,8 +150,9 @@ def quantize_rar_params_int8(params, compute_dtype=None):
     intended compute dtype — the embedding lookup seeds the dtype of every
     downstream matmul, so serving configs should pass ``jnp.bfloat16``.
     Opt-in lever: quality is measured (greedy agreement tests +
-    PERFORMANCE.md), not assumed."""
-    q = lambda p: wquant.quantize_linear_int8(p, compute_dtype)
+    PERFORMANCE.md), not assumed. ``bits=4`` switches to grouped int4
+    (per-matrix int8 fallback on indivisible contraction dims)."""
+    q = lambda p: wquant.quantize_linear(p, bits=bits, compute_dtype=compute_dtype)
     out = dict(params)
     out["blocks"] = [
         {

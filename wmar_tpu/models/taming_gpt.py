@@ -96,16 +96,17 @@ def _linear(x, p):
     return wquant.linear(x, p)
 
 
-def quantize_gpt_params_int8(params, compute_dtype=None):
+def quantize_gpt_params_int8(params, compute_dtype=None, bits=8):
     """Weight-only int8 for every decode-path linear + the untied head.
 
     Same serving lever as :func:`wmar_tpu.models.rar.quantize_rar_params_int8`
     — per-output-channel absmax, embeddings/norms stay float (cast to
     ``compute_dtype`` when given, which seeds the activation dtype).
     The published cin_transformer (48L x 1664d, 1.4B) reads ~2.8 GB of bf16
-    weights per decode step; int8 halves that.
+    weights per decode step; int8 halves that, ``bits=4`` (grouped int4,
+    falls back per-matrix on indivisible dims) halves it again.
     """
-    q = lambda p: wquant.quantize_linear_int8(p, compute_dtype)
+    q = lambda p: wquant.quantize_linear(p, bits=bits, compute_dtype=compute_dtype)
     out = dict(params)
     out["blocks"] = [
         {
@@ -115,7 +116,7 @@ def quantize_gpt_params_int8(params, compute_dtype=None):
         }
         for blk in params["blocks"]
     ]
-    out["head"] = wquant.quantize_matrix_int8(params["head"])
+    out["head"] = wquant.quantize_matrix(params["head"], bits=bits)
     if compute_dtype is not None:
         for key in ("tok_emb", "pos_emb"):
             out[key] = jnp.asarray(params[key]).astype(compute_dtype)
