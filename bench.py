@@ -23,7 +23,8 @@ environment); throughput is architecture+shape bound, not weight bound.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BENCH_MODEL (rar|taming|chameleon), BENCH_BATCH, BENCH_ITERS,
-BENCH_TINY=1, BENCH_CACHE (packed|int8|bf16|f32|int4|packed4), BENCH_W8.
+BENCH_TINY=1, BENCH_CACHE (packed4|packed|int8|bf16|f32|int4),
+BENCH_W (int8|int4|bf16 weight-only quantization; BENCH_W8=0 -> bf16).
 """
 
 from __future__ import annotations
@@ -63,13 +64,26 @@ def _bind_backend(timeout_s: float = 600.0):
 
 
 def _cache_dtype():
-    # Packed int8 KV cache by default: same per-(token, head) quantization
-    # as int8 (bit-identical cache values, ~0.4% noise), stored [T, H*D] and
-    # read by the batch-blocked Pallas decode kernel — measured 26.5 imgs/s
-    # vs 25.0 for the XLA int8 path and 22.4 bf16 on the tunneled v5e.
-    cache_env = os.environ.get("BENCH_CACHE", "packed")
+    # Packed int4 KV cache by default (K+V nibbles share a byte, read by the
+    # batch-blocked Pallas decode kernel): 30.8 imgs/s vs 28.8 packed-int8 /
+    # 25.0 XLA-int8 / 22.4 bf16 on the tunneled v5e. Watermark strength and
+    # detection TPR measured equivalent to int8/bf16 (PERFORMANCE.md,
+    # tools/compare_cache_quality.py --tpr); BENCH_CACHE=packed reverts.
+    cache_env = os.environ.get("BENCH_CACHE", "packed4")
     return {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32,
             "int4": "int4", "packed": "packed", "packed4": "packed4"}[cache_env]
+
+
+def _weight_bits():
+    """Weight-only quantization knob: BENCH_W=int8 (default) | int4 | bf16.
+
+    BENCH_W8=0 keeps its historical meaning (bf16 weights). Returns the bit
+    width or None for float weights.
+    """
+    if os.environ.get("BENCH_W8", "1") == "0":
+        return None
+    w = os.environ.get("BENCH_W", "int8")
+    return {"int8": 8, "int4": 4, "bf16": None}[w]
 
 
 def _watermark_spec(vocab_size):
@@ -110,15 +124,19 @@ def build_rar(tiny):
 
     dtype = jnp.bfloat16
     rar_params = init_rar_params(jax.random.PRNGKey(0), rar_cfg, dtype=dtype)
-    if os.environ.get("BENCH_W8", "1") == "1":
-        # weight-only int8 by default (BENCH_W8=0 for bf16 weights): halves
-        # the ~0.9 GB/step weight HBM reads while keeping the activation
-        # stream bf16 (embeddings seed compute dtype). Measured +1.8%
-        # (24.5 -> 25.0 imgs/s) on the tunneled v5e; greedy agreement with
-        # float weights is tested per family.
+    if _weight_bits():
+        # weight-only int8 by default (BENCH_W=bf16 for float weights):
+        # halves the ~0.9 GB/step weight HBM reads while keeping the
+        # activation stream bf16 (embeddings seed compute dtype). Measured
+        # +1.8% (24.5 -> 25.0 imgs/s) on the tunneled v5e; greedy agreement
+        # with float weights is tested per family. BENCH_W=int4 halves the
+        # weight bytes again but measured SLOWER on v5e (10.9 vs 30.7 imgs/s
+        # on RAR-XL: the grouped-nibble dequant is not fused into the matmul)
+        # — it is a memory-footprint option, not a speed option.
         from wmar_tpu.models.rar import quantize_rar_params_int8
 
-        rar_params = quantize_rar_params_int8(rar_params, compute_dtype=dtype)
+        rar_params = quantize_rar_params_int8(rar_params, compute_dtype=dtype,
+                                              bits=_weight_bits())
     vq = MaskGitVQGAN(vq_cfg)
     vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3)))
     vq_params = jax.tree.map(lambda x: x.astype(dtype), vq_params)
@@ -163,6 +181,13 @@ def build_taming(tiny):
 
     dtype = jnp.bfloat16
     gpt_params = init_gpt_params(jax.random.PRNGKey(0), gpt_cfg, dtype=dtype)
+    if not tiny and _weight_bits():
+        # same weight-only int8 default as the rar/chameleon builders; at
+        # batch 32 the 1.4B decode is weight-read bound (2.8 GB/step bf16)
+        from wmar_tpu.models.taming_gpt import quantize_gpt_params_int8
+
+        gpt_params = quantize_gpt_params_int8(gpt_params, compute_dtype=dtype,
+                                              bits=_weight_bits())
     vq = TamingVQGAN(vq_cfg)
     vq_params = vq.init(jax.random.PRNGKey(1),
                         jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3)))
@@ -217,10 +242,10 @@ def build_chameleon(tiny):
 
     dtype = jnp.bfloat16
     params = init_llama_params(jax.random.PRNGKey(0), lcfg, dtype=dtype)
-    if not tiny and os.environ.get("BENCH_W8", "1") == "1":
+    if not tiny and _weight_bits():
         # donate: 7B bf16 (~14 GB) + int8 copy would exceed one v5e's HBM
         params = quantize_llama_params_int8(params, compute_dtype=dtype,
-                                            donate=True)
+                                            donate=True, bits=_weight_bits())
     vq = TamingVQGAN(vq_cfg)
     vq_params = vq.init(jax.random.PRNGKey(1),
                         jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3)))
