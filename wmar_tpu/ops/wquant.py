@@ -82,10 +82,14 @@ def quantize_matrix_int4(w, group: int = INT4_GROUP) -> dict:
     the uint8 nibbles as the HBM-resident operand (the whole point: decode
     is weight-read bound, int4 halves the int8 byte stream again).
 
-    Nibble encoding: values in [-7, 7] stored offset-8 in [1, 15]; rows
-    2i / 2i+1 of each group share byte i (low/high nibble). uint8 storage
-    with int32 widening before any bit op (TPU-friendly; see
-    PERFORMANCE.md's Mosaic/XLA int-width notes).
+    Nibble encoding: values in [-7, 7] stored offset-8 in [1, 15]; byte row
+    i of a group holds rows i (low nibble) and i + G/2 (high nibble) — the
+    "group halves" layout, so unpacking is a single sublane concatenation
+    (no interleave): both XLA (round-3 KV measurement: de-interleaved 21.5
+    vs interleaved 13.0 imgs/s) and the Pallas w4 kernel
+    (`ops/w4_matmul.py`) want it this way. uint8 storage with int32
+    widening before any bit op (TPU-friendly; see PERFORMANCE.md's
+    Mosaic/XLA int-width notes).
     """
     w = np.asarray(jax.device_get(w), np.float32)
     n_in, n_out = w.shape
@@ -96,7 +100,8 @@ def quantize_matrix_int4(w, group: int = INT4_GROUP) -> dict:
     scale = np.abs(wg).max(axis=1) / 7.0  # [gc, n_out]
     q = np.clip(np.round(wg / np.maximum(scale[:, None, :], 1e-12)), -7, 7)
     u = (q + 8).astype(np.uint8)  # [gc, G, n_out] in [1, 15]
-    packed = (u[:, 0::2, :] | (u[:, 1::2, :] << 4)).astype(np.uint8)
+    half = group // 2
+    packed = (u[:, :half, :] | (u[:, half:, :] << 4)).astype(np.uint8)
     return {"q4": jnp.asarray(packed), "s4": jnp.asarray(scale, jnp.bfloat16)}
 
 
@@ -106,7 +111,8 @@ def _quantize_on_device4(wg):
     scale = jnp.abs(w32).max(axis=1) / 7.0
     q = jnp.clip(jnp.round(w32 / jnp.maximum(scale[:, None, :], 1e-12)), -7, 7)
     u = (q.astype(jnp.int32) + 8)
-    packed = (u[:, 0::2, :] | (u[:, 1::2, :] << 4)).astype(jnp.uint8)
+    half = wg.shape[1] // 2
+    packed = (u[:, :half, :] | (u[:, half:, :] << 4)).astype(jnp.uint8)
     return packed, scale.astype(jnp.bfloat16)
 
 
@@ -123,22 +129,35 @@ def quantize_matrix_int4_device(w, group: int = INT4_GROUP) -> dict:
 
 def unpack_int4(q4):
     """``[gc, G/2, n_out]`` packed nibbles -> ``[gc, G, n_out]`` int32 in
-    [-7, 7]. Widen to int32 BEFORE the bit ops (uint8 bit ops lower badly)."""
+    [-7, 7]. Group-halves layout: low nibbles are rows [0, G/2), high are
+    [G/2, G), so unpacking is one concatenation (no interleave). Widen to
+    int32 BEFORE the bit ops (uint8 bit ops lower badly)."""
     b = q4.astype(jnp.int32)
     lo = (b & 15) - 8
     hi = (b >> 4) - 8
-    gc, half, n_out = q4.shape
-    return jnp.stack([lo, hi], axis=2).reshape(gc, half * 2, n_out)
+    return jnp.concatenate([lo, hi], axis=1)
 
 
 def matmul4(x, w: dict):
     """``x @ dequant(w)`` for a ``{"q4","s4"}`` grouped-int4 dict.
 
-    One batched dot per group with the scale applied to the partial sums:
-    ``y = sum_g (x_g @ q_g) * s_g`` — the scales never enter the
-    contraction, so the MXU operand is the (fused-upcast) nibble tensor and
-    the only HBM weight traffic is the packed uint8 + bf16 scales.
+    Default route is the XLA grouped dot (`matmul4_xla`): with the
+    group-halves layout XLA fuses the concat-unpack into the contraction
+    and matches the int8 route per-layer (tools/bench_w4.py, round 4).
+    The Pallas w4a16 kernel (`ops/w4_matmul.py`) is opt-in via
+    WMAR_W4_KERNEL=1 — it measured ~2x slower on the tunneled v5e (VPU
+    unpack outweighs the halved HBM bytes) but may flip on
+    directly-attached chips.
     """
+    from wmar_tpu.ops.w4_matmul import matmul_w4_pallas, w4_kernel_eligible
+
+    if w4_kernel_eligible(x.shape, w["q4"].shape):
+        return matmul_w4_pallas(x, w["q4"], w["s4"])
+    return matmul4_xla(x, w)
+
+
+def matmul4_xla(x, w: dict):
+    """XLA fallback for :func:`matmul4` (kept callable for benchmarking)."""
     qf = unpack_int4(w["q4"]).astype(x.dtype)        # [gc, G, n_out]
     gc, group, n_out = qf.shape
     lead = x.shape[:-1]
