@@ -130,9 +130,10 @@ def build_rar(tiny):
         # activation stream bf16 (embeddings seed compute dtype). Measured
         # +1.8% (24.5 -> 25.0 imgs/s) on the tunneled v5e; greedy agreement
         # with float weights is tested per family. BENCH_W=int4 halves the
-        # weight bytes again but measured SLOWER on v5e (10.9 vs 30.7 imgs/s
-        # on RAR-XL: the grouped-nibble dequant is not fused into the matmul)
-        # — it is a memory-footprint option, not a speed option.
+        # weight bytes again; with the group-halves layout it measures 25.9
+        # imgs/s on RAR-XL (vs 30.8 int8 — this family is cache-read bound,
+        # so the extra VPU unpack is not repaid). int4 is the footprint
+        # option (and the lever for weight-bound families like Chameleon).
         from wmar_tpu.models.rar import quantize_rar_params_int8
 
         rar_params = quantize_rar_params_int8(rar_params, compute_dtype=dtype,
