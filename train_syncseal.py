@@ -47,6 +47,14 @@ def parse_args():
     p.add_argument("--disc_start", type=int, default=0)
     p.add_argument("--finetune_detector_start", type=int, default=10**9)
     p.add_argument("--tiny", action="store_true", help="tiny configs (smoke test)")
+    p.add_argument("--embedder_config", default=None,
+                   help="reference-grammar embedder.yaml (train_sync.py:69)")
+    p.add_argument("--extractor_config", default=None,
+                   help="reference-grammar extractor.yaml (train_sync.py:71)")
+    p.add_argument("--attenuation_config", default=None,
+                   help="reference-grammar attenuation.yaml (train_sync.py:73)")
+    p.add_argument("--augmentation_config", default=None,
+                   help="reference-grammar all_augs.yaml aug weights (train_sync.py:81)")
     p.add_argument("--resume", type=str2bool, default=True)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--eval_freq", type=int, default=5)
@@ -116,6 +124,33 @@ def main():
         cn_cfg = sm.ConvNeXtConfig(depths=(1, 1), dims=(8, 16))
     else:
         unet_cfg, cn_cfg = sm.UNET_SMALL2_YUV, sm.CONVNEXT_TINY
+
+    # Reference-grammar yaml configs override the defaults (train_sync.py:59-82);
+    # they are also copied into the output dir like the reference does
+    # (train_sync.py:197-201) so a run is self-describing.
+    from wmar_tpu.sync import configs as sync_configs
+
+    aug_weights = None
+    cfg_out = os.path.join(args.output_dir, "configs")
+    for flag, loader, saved in (
+        ("embedder_config", sync_configs.load_embedder_config, "embedder.yaml"),
+        ("extractor_config", sync_configs.load_extractor_config, "extractor.yaml"),
+        ("attenuation_config", sync_configs.load_attenuation_config, "attenuation.yaml"),
+        ("augmentation_config", sync_configs.load_augs_config, "augs.yaml"),
+    ):
+        path = getattr(args, flag)
+        if path is None:
+            continue
+        val = loader(path)
+        if flag == "embedder_config":
+            unet_cfg = val
+        elif flag == "extractor_config":
+            cn_cfg = val
+        elif flag == "augmentation_config":
+            aug_weights = val
+        os.makedirs(cfg_out, exist_ok=True)
+        with open(path) as src, open(os.path.join(cfg_out, saved), "w") as dst:
+            dst.write(src.read())
 
     model = SyncSealRef.init(args.seed, unet_cfg=unet_cfg, convnext_cfg=cn_cfg)
     cfg = RefTrainConfig(

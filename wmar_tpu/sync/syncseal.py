@@ -418,10 +418,13 @@ def valuemetric_branches():
     ]
 
 
-def sample_geometric_corners(rng: jax.Array, perspective_strength: float = 0.25):
+def sample_geometric_corners(rng: jax.Array, perspective_strength: float = 0.25,
+                             probs=None):
     """Sample one geometric aug as target corner positions in [0,1]x[0,1]
     TV order — identity / rotation / zoom-crop / perspective / hflip, the
-    families of ``syncseal/augmentation/geometricunified.py:41-349``."""
+    families of ``syncseal/augmentation/geometricunified.py:41-349``.
+    ``probs`` (static, len 5) weights the family choice — fed from
+    ``all_augs.yaml`` via ``configs.load_augs_config``; None = uniform."""
     k_type, k1, k2 = jax.random.split(rng, 3)
     canon = jnp.asarray(TV_CORNERS)
     center = jnp.asarray([0.5, 0.5])
@@ -449,7 +452,10 @@ def sample_geometric_corners(rng: jax.Array, perspective_strength: float = 0.25)
     def flip():
         return canon.at[:, 0].set(1.0 - canon[:, 0])
 
-    t = jax.random.randint(k_type, (), 0, 5)
+    if probs is None:
+        t = jax.random.randint(k_type, (), 0, 5)
+    else:
+        t = jax.random.choice(k_type, 5, (), p=jnp.asarray(probs, jnp.float32))
     return jax.lax.switch(t, [ident, rot, crop, persp, flip])
 
 
@@ -481,7 +487,8 @@ def scaling_w_at(cfg: RefTrainConfig, epoch: int) -> float:
 
 
 def make_ref_train_steps(model: SyncSealRef, optimizer, optimizer_d,
-                         cfg: RefTrainConfig = RefTrainConfig(), perceptual=None):
+                         cfg: RefTrainConfig = RefTrainConfig(), perceptual=None,
+                         aug_weights=None):
     """Two train steps mirroring ``SyncLoss.forward`` optimizer_idx 0/1:
 
     * model step: perceptual + hinge-G + detect BCE + corner MSE (preds in
@@ -491,7 +498,9 @@ def make_ref_train_steps(model: SyncSealRef, optimizer, optimizer_d,
 
     ``detector_only`` freezes the embedder and zeroes percep/GAN terms
     (train_sync.py:390-405). ``scaling_w``/``disc_factor`` are traced args
-    so schedules don't recompile.
+    so schedules don't recompile. ``aug_weights`` (a ``configs.AugWeights``
+    from ``all_augs.yaml``) reweights the per-image aug sampling; None =
+    uniform over both banks.
     """
     import optax
 
@@ -499,19 +508,27 @@ def make_ref_train_steps(model: SyncSealRef, optimizer, optimizer_d,
 
     perceptual = perceptual or PerceptualLoss()
     branches = valuemetric_branches()
+    vm_probs = (None if aug_weights is None
+                else jnp.asarray(aug_weights.valuemetric, jnp.float32))
+    geo_probs = None if aug_weights is None else aug_weights.geometric
 
     def forward(params, imgs01, rng, scaling_w):
         k_aug, k_type, k_geo = jax.random.split(rng, 3)
         imgs_w = model.embed01(params["unet"], imgs01, scaling_w)
         b = imgs01.shape[0]
-        aug_ids = jax.random.randint(k_type, (b,), 0, len(branches))
+        if vm_probs is None:
+            aug_ids = jax.random.randint(k_type, (b,), 0, len(branches))
+        else:
+            aug_ids = jax.random.choice(k_type, len(branches), (b,), p=vm_probs)
         aug_keys = jax.random.split(k_aug, b)
 
         def aug_one(img, aid, k):
             return jax.lax.switch(aid, branches, img[None], k)[0]
 
         imgs_aug = jax.vmap(aug_one)(imgs_w, aug_ids, aug_keys)
-        corners = jax.vmap(sample_geometric_corners)(jax.random.split(k_geo, b))
+        corners = jax.vmap(
+            lambda k: sample_geometric_corners(k, probs=geo_probs)
+        )(jax.random.split(k_geo, b))
         imgs_aug = apply_tv_corner_warp(imgs_aug, corners)
         preds = model.detect01(params["convnext"], imgs_aug)
         target = (corners.reshape(b, 8) * 2.0 - 1.0)  # [0,1] -> [-1,1]

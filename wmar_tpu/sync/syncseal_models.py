@@ -85,15 +85,32 @@ class UNetConfig:
     z_channels_mults: Tuple[int, ...] = (1, 2, 4, 8)
     norm_groups: int = 8  # get_normalization("group") -> GroupNorm(8, c)
     last_tanh: bool = True
+    # The quantizable training variant (configs/embedder.yaml
+    # unet_small2_yuv_quantizable) swaps gelu->relu and group->batch norm;
+    # batch norm here is train-mode batch statistics (scale/bias params only).
+    activation: str = "gelu"
+    normalization: str = "group"
 
 
 UNET_SMALL2_YUV = UNetConfig()
+UNET_SMALL2_YUV_QUANTIZABLE = UNetConfig(activation="relu", normalization="batch")
 
 
-def _res_block(p, x, groups):
-    """conv3(no bias) GN GELU conv3(no bias) GN GELU + 1x1 res conv."""
-    h = jax.nn.gelu(_gn(p["norm1"], _conv(p["conv1"], x), groups), approximate=False)
-    h = jax.nn.gelu(_gn(p["norm2"], _conv(p["conv2"], h), groups), approximate=False)
+def _bn(p, x):
+    """Train-mode batch norm: per-channel stats over (B, H, W)."""
+    mean = x.mean(axis=(0, 1, 2), keepdims=True)
+    var = x.var(axis=(0, 1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+
+
+def _res_block(p, x, groups, act=None, norm=None):
+    """conv3(no bias) norm act conv3(no bias) norm act + 1x1 res conv.
+    Defaults to the shipped GN+GELU; the quantizable variant passes
+    relu/_bn."""
+    act = act or (lambda v: jax.nn.gelu(v, approximate=False))
+    norm = norm or (lambda q, v: _gn(q, v, groups))
+    h = act(norm(p["norm1"], _conv(p["conv1"], x)))
+    h = act(norm(p["norm2"], _conv(p["conv2"], h)))
     return h + _conv(p["res"], x, pad=0)
 
 
@@ -111,21 +128,24 @@ def _ublock_up(p, x):
 def unet_forward(params: dict, cfg: UNetConfig, x: jnp.ndarray) -> jnp.ndarray:
     """x: [B,H,W,in] in [-1,1] (the embedder preprocesses) -> delta [B,H,W,out]."""
     g = cfg.norm_groups
-    h = _res_block(params["inc"], x, g)
+    act = (jax.nn.relu if cfg.activation == "relu"
+           else (lambda v: jax.nn.gelu(v, approximate=False)))
+    norm = _bn if cfg.normalization == "batch" else (lambda q, v: _gn(q, v, g))
+    h = _res_block(params["inc"], x, g, act, norm)
     hiddens = [h]
     for d in params["downs"]:
         h = _conv(d["down"], hiddens[-1], stride=2)
-        h = _res_block(d["conv"], h, g)
+        h = _res_block(d["conv"], h, g, act, norm)
         hiddens.append(h)
     x_ = hiddens[-1]
     for blk in params["bottleneck"]:
-        x_ = _res_block(blk, x_, g)
+        x_ = _res_block(blk, x_, g, act, norm)
     scale = 2.0**-0.5
     for u in params["ups"]:
         skip = hiddens.pop()
         x_ = jnp.concatenate([x_, skip * scale], axis=-1)
         x_ = _ublock_up(u["up"], x_)
-        x_ = _res_block(u["conv"], x_, g)
+        x_ = _res_block(u["conv"], x_, g, act, norm)
     out = _conv(params["outc"], x_, pad=0)
     return jnp.tanh(out) if cfg.last_tanh else out
 
