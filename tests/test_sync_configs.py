@@ -71,6 +71,18 @@ def test_weighted_geo_sampler_respects_zero_weight():
                                np.tile(np.asarray(TV_CORNERS), (64, 1, 1)), atol=1e-6)
 
 
+def test_dataset_config(tmp_path):
+    y = tmp_path / "ds.yaml"
+    y.write_text("train_dir: /data/train\nval_dir: /data/val\n"
+                 "train_annotation_file: null\n")
+    d = C.load_dataset_config(str(y))
+    assert d["train_dir"] == "/data/train"
+    with pytest.raises(ValueError):
+        y2 = tmp_path / "bad.yaml"
+        y2.write_text("val_dir: /x\n")
+        C.load_dataset_config(str(y2))
+
+
 def test_train_cli_with_yaml_configs(tmp_path):
     cfgdir = tmp_path / "cfg"
     cfgdir.mkdir()

@@ -47,6 +47,8 @@ def parse_args():
     p.add_argument("--disc_start", type=int, default=0)
     p.add_argument("--finetune_detector_start", type=int, default=10**9)
     p.add_argument("--tiny", action="store_true", help="tiny configs (smoke test)")
+    p.add_argument("--dataset_config", default=None,
+                   help="reference-grammar datasets yaml: train_dir/val_dir (train_sync.py:59)")
     p.add_argument("--embedder_config", default=None,
                    help="reference-grammar embedder.yaml (train_sync.py:69)")
     p.add_argument("--extractor_config", default=None,
@@ -130,6 +132,11 @@ def main():
     # (train_sync.py:197-201) so a run is self-describing.
     from wmar_tpu.sync import configs as sync_configs
 
+    if args.dataset_config:
+        ds = sync_configs.load_dataset_config(args.dataset_config)
+        if not args.data_dir:
+            args.data_dir = ds["train_dir"]
+
     aug_weights = None
     cfg_out = os.path.join(args.output_dir, "configs")
     for flag, loader, saved in (
@@ -172,6 +179,7 @@ def main():
     model_step, disc_step = make_ref_train_steps(
         model, optimizer, optimizer_d, cfg,
         perceptual=perceptual or (lambda a, b: ((a - b) ** 2).mean(axis=(1, 2, 3))),
+        aug_weights=aug_weights,
     )
     model_step = jax.jit(model_step)
     disc_step = jax.jit(disc_step)

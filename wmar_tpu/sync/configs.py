@@ -142,3 +142,12 @@ def load_augs_config(path: Optional[str]) -> Optional[AugWeights]:
     # mass applies to both samplers.
     return AugWeights(valuemetric=probs(_VALUEMETRIC_NAMES),
                       geometric=probs(_GEOMETRIC_NAMES))
+
+
+def load_dataset_config(path: str) -> dict:
+    """configs/datasets/*.yaml -> {train_dir, val_dir, ...} (train_sync.py:59;
+    annotation files are an sa-1b detail the loader passes through)."""
+    d = _load_yaml(path)
+    if "train_dir" not in d:
+        raise ValueError(f"{path}: dataset yaml needs a train_dir key")
+    return d
