@@ -11,6 +11,12 @@ before any backend is initialized, i.e. before tests import model code.
 
 import os
 
+# Drop the tunneled-TPU pool env BEFORE jax import: the axon plugin's
+# channel setup can block indefinitely at import when another process
+# (e.g. a bench) holds the single tunneled chip — observed as a pytest
+# hang in collection with ~0 CPU time. Tests always run on the CPU mesh.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
