@@ -59,6 +59,55 @@ def test_chameleon_generate_grid_shape():
     assert "none" in encs and len(encs) == 3
 
 
+# Cell counts of the reference's six sweeps (reference configs/*.json):
+# generate = chunks x (base + FT + FT+Augs x {sync, nosync}); ft = 1 cell.
+EXPECTED_CELLS = {
+    "taming_generate.json": 1 * 4,
+    "rar_generate.json": 25 * 4,
+    "chameleon_generate.json": 25 * 4,
+    "taming_ft.json": 1,
+    "rar_ft.json": 1,
+    "chameleon_ft.json": 1,
+}
+
+REF_CONFIGS = "/root/reference/configs"
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_CELLS), ids=str)
+def test_grid_cell_counts_match_reference(name):
+    cmds = expand(os.path.join(REPO, "configs", name))
+    assert len(cmds) == EXPECTED_CELLS[name]
+    if os.path.exists(os.path.join(REF_CONFIGS, name)):
+        # Same expansion grammar => directly comparable cell counts.
+        ref_cfg = json.load(open(os.path.join(REF_CONFIGS, name)))
+        ref_params = {
+            k: v for k, v in ref_cfg["params"].items() if k != "master_port"
+        }
+        n_ref = len(list(_count_cells(ref_params)))
+        assert len(cmds) == n_ref
+
+
+def _count_cells(params):
+    from launch_chunks import _expand_params
+
+    return _expand_params(params)
+
+
+def test_generate_grids_carry_attack_axes():
+    """The generate sweeps must sweep the 4-method axis with the full attack
+    bank on, matching reference configs/taming_generate.json:14-44."""
+    for name in ("taming_generate.json", "rar_generate.json"):
+        cmds = expand(os.path.join(REPO, "configs", name))
+        for cmd in cmds:
+            assert cmd[cmd.index("--include_neural_compress") + 1] == "true"
+            assert cmd[cmd.index("--include_diffpure") + 1] == "true"
+            assert "--syncpath" in cmd
+        encs = {cmd[cmd.index("--encoder_ft_ckpt") + 1] for cmd in cmds}
+        assert "none" in encs and len(encs) == 3
+        conds = {cmd[cmd.index("--conditioning") + 1] for cmd in cmds}
+        assert conds == {"1,9,232,340,568,656,703,814,937,975"}
+
+
 def test_one_cell_tiny_smoke(tmp_path):
     """Run cell 0 of the taming generate sweep with the tiny model."""
     import generate
@@ -72,6 +121,11 @@ def test_one_cell_tiny_smoke(tmp_path):
         "--no_augs",
         "--num_chunks", "1",
         "--chunk_id", "0",
+        # The full-parity sweep turns the heavyweight attack bank on;
+        # override for the weightless tiny smoke (argparse keeps the last).
+        "--include_neural_compress", "false",
+        "--include_diffpure", "false",
+        "--syncpath", "none",
         "--outdir", str(tmp_path),
     ]
     generate.main(argv)
