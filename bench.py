@@ -23,7 +23,7 @@ environment); throughput is architecture+shape bound, not weight bound.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BENCH_MODEL (rar|taming|chameleon), BENCH_BATCH, BENCH_ITERS,
-BENCH_TINY=1, BENCH_CACHE (packed4|packed|int8|bf16|f32|int4),
+BENCH_TINY=1, BENCH_CACHE (packed4|packed|int8|bf16|f32),
 BENCH_W (int8|int4|bf16 weight-only quantization; BENCH_W8=0 -> bf16).
 """
 
@@ -71,7 +71,7 @@ def _cache_dtype():
     # tools/compare_cache_quality.py --tpr); BENCH_CACHE=packed reverts.
     cache_env = os.environ.get("BENCH_CACHE", "packed4")
     return {"int8": jnp.int8, "bf16": jnp.bfloat16, "f32": jnp.float32,
-            "int4": "int4", "packed": "packed", "packed4": "packed4"}[cache_env]
+            "packed": "packed", "packed4": "packed4"}[cache_env]
 
 
 def _weight_bits():

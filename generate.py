@@ -48,12 +48,12 @@ def get_parser():
     p.add_argument("--decoder_ft_ckpt", type=str, default=None, help="RCC decoder delta (msgpack)")
     p.add_argument("--tiny", action="store_true", help="random tiny model (smoke test)")
     p.add_argument("--cache_dtype", type=str, default=None,
-                   choices=["bf16", "f32", "int8", "int4", "packed", "packed4"],
+                   choices=["bf16", "f32", "int8", "packed", "packed4"],
                    help="KV-cache dtype override; int8 halves decode-attention "
                         "HBM reads (~0.4%% quantization noise, not token-exact); "
-                        "int4 (nibble-packed) halves them again at ~7%% noise; "
                         "packed = int8 in the [T, H*D] layout driven by the "
-                        "batch-blocked Pallas decode kernel")
+                        "batch-blocked Pallas decode kernel; packed4 packs K+V "
+                        "nibbles into one byte (bench default, PERFORMANCE.md)")
     p.add_argument("--weight_dtype", type=str, default=None,
                    choices=["int8", "int4"],
                    help="weight-only int8 for the generator's linears "
@@ -361,8 +361,7 @@ def main(argv=None):
     wrapper = load_wrapper(args)
     if args.cache_dtype:
         wrapper.cache_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-                               "int8": jnp.int8, "int4": "int4",
-                               "packed": "packed",
+                               "int8": jnp.int8, "packed": "packed",
                                "packed4": "packed4"}[args.cache_dtype]
     if args.weight_dtype in ("int8", "int4"):
         bits = {"int8": 8, "int4": 4}[args.weight_dtype]

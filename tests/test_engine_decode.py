@@ -122,36 +122,6 @@ def test_greedy_decode_reproducible_across_jit(gpt):
     np.testing.assert_array_equal(np.asarray(toks_eager), np.asarray(toks_jit))
 
 
-def test_phased_decode_matches_single_phase(gpt):
-    """Phased KV-cache windows produce the same greedy trajectory."""
-    params = gpt
-    cond = jnp.array([[3], [9]], dtype=jnp.int32)
-    init_logits, cache = prefill(params, CFG, cond, max_len=40)
-    step_fn = make_step_fn(params, CFG, cond_len=1)
-    sampler = SamplerConfig(greedy=True)
-    t1, _ = decode_tokens(step_fn, cache, init_logits, 20, jax.random.PRNGKey(0), sampler)
-    t4, _ = decode_tokens(
-        step_fn, cache, init_logits, 20, jax.random.PRNGKey(0), sampler,
-        phases=4, cache_len_for_step=lambda s: 1 + s,
-    )
-    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))
-
-
-def test_phased_decode_sampled_matches(gpt):
-    """Same PRNG keys -> same sampled tokens regardless of phasing."""
-    params = gpt
-    cond = jnp.array([[5]], dtype=jnp.int32)
-    init_logits, cache = prefill(params, CFG, cond, max_len=40)
-    step_fn = make_step_fn(params, CFG, cond_len=1)
-    sampler = SamplerConfig(temperature=1.0, top_k=20)
-    t1, _ = decode_tokens(step_fn, cache, init_logits, 16, jax.random.PRNGKey(7), sampler)
-    t3, _ = decode_tokens(
-        step_fn, cache, init_logits, 16, jax.random.PRNGKey(7), sampler,
-        phases=3, cache_len_for_step=lambda s: 1 + s,
-    )
-    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t3))
-
-
 class TestQuantKVCache:
     """int8 KV cache: the serving-path bandwidth lever (PERFORMANCE.md)."""
 
@@ -214,69 +184,6 @@ class TestQuantKVCache:
         assert agreement >= 0.95, agreement
 
 
-class TestQuant4KVCache:
-    """int4 nibble-packed KV cache: one more halving of decode-attention
-    reads beyond int8 (opt-in, PERFORMANCE.md)."""
-
-    def test_zeros_dispatch_and_roundtrip(self):
-        from wmar_tpu.engine.kvcache import KVCache, Quant4KVCache
-
-        c = KVCache.zeros(1, 2, 4, 8, 16, dtype="int4")
-        assert isinstance(c, Quant4KVCache)
-        assert c.k.shape == (1, 2, 4, 8, 8) and c.k.dtype == jnp.uint8
-        rng = np.random.default_rng(0)
-        k_new = jnp.asarray(rng.standard_normal((2, 4, 3, 16)).astype(np.float32))
-        v_new = jnp.asarray(2.5 * rng.standard_normal((2, 4, 3, 16)).astype(np.float32))
-        c = c.write(0, 2, k_new, v_new)
-        k, v = c.layer(0)
-        assert k.shape == (2, 4, 8, 16) and k.dtype == jnp.bfloat16
-        for got, want in ((k, k_new), (v, v_new)):
-            err = np.abs(np.asarray(got[:, :, 2:5], np.float32) - np.asarray(want))
-            rel = err.max() / np.abs(np.asarray(want)).max()
-            assert rel < 0.12, rel
-        assert np.asarray(k[:, :, :2], np.float32).max() == 0.0
-
-    def test_decode_attention_close_to_float_cache(self):
-        from wmar_tpu.engine.attention import decode_attention
-        from wmar_tpu.engine.kvcache import KVCache
-
-        rng = np.random.default_rng(1)
-        cf = KVCache.zeros(1, 2, 4, 8, 16, dtype=jnp.float32)
-        cq = KVCache.zeros(1, 2, 4, 8, 16, dtype="int4")
-        for t in range(6):
-            k_new = jnp.asarray(rng.standard_normal((2, 4, 1, 16)).astype(np.float32))
-            v_new = jnp.asarray(rng.standard_normal((2, 4, 1, 16)).astype(np.float32))
-            cf = cf.write(0, t, k_new, v_new)
-            cq = cq.write(0, t, k_new, v_new)
-        q = jnp.asarray(rng.standard_normal((2, 4, 1, 16)).astype(np.float32))
-        of = decode_attention(q, *cf.layer(0), jnp.int32(6))
-        oq = decode_attention(q, *cq.layer(0), jnp.int32(6))
-        np.testing.assert_allclose(np.asarray(of, np.float32),
-                                   np.asarray(oq, np.float32), atol=0.35)
-
-    def test_rar_greedy_mostly_matches_float_cache(self):
-        from wmar_tpu.models import RARConfig, RARSampler, init_rar_params
-
-        cfg = RARConfig(embed_dim=64, depth=2, num_heads=2, intermediate_size=128,
-                        image_seq_len=16, codebook_size=64, num_classes=10)
-        params = init_rar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
-        cids = jnp.arange(2, dtype=jnp.int32)
-
-        def gen(cache_dtype):
-            s = RARSampler(params, cfg, cids, guidance_scale=4.0, cache_dtype=cache_dtype)
-            _, cache = s.prefill()
-            prev = jnp.zeros((2,), jnp.int32)
-            toks = []
-            for t in range(16):
-                logits, cache = s.step_fn(cache, prev, jnp.int32(t))
-                prev = jnp.argmax(logits, -1).astype(jnp.int32)
-                toks.append(np.asarray(prev))
-            return np.stack(toks, 1)
-
-        agreement = (gen(jnp.float32) == gen("int4")).mean()
-        assert agreement >= 0.7, agreement
-
-
 def test_rar_int8_weights_greedy_agreement():
     """Weight-only int8 (quantize_rar_params_int8): greedy decode agrees
     with float weights at tiny scale (opt-in serving lever)."""
@@ -335,7 +242,7 @@ def test_gpt_int8_weights_greedy_agreement():
 def test_rar_int4_weights_greedy_agreement():
     """Grouped-int4 weights (bits=4): greedy decode still tracks the float
     model at tiny scale. int4 noise is larger than int8's, so the threshold
-    matches the int4 KV-cache test, not the int8 weight one."""
+    is looser than the int8 weight one's."""
     from wmar_tpu.models import RARConfig, RARSampler, init_rar_params
     from wmar_tpu.models.rar import quantize_rar_params_int8
 

@@ -177,22 +177,6 @@ def test_taming_armm_sample_detect(taming_vq):
     assert codes_rt.shape == codes.shape
 
 
-def test_rar_split_phase_decode_matches(rar_params, mg_vq):
-    """Multi-program phased decode == single-program decode, token-exact."""
-    _, vq_params = mg_vq
-    wrapper = RarARMM(rar_params, TINY_RAR, vq_params, TINY_MGVQ, cache_dtype=jnp.float32)
-    spec = WatermarkSpec(
-        vocab_size=64, seed_strategy=SeedStrategy.LINEAR,
-        split_strategy=SplitStrategy.RANDOM, context_size=1, delta=4.0, gamma=0.25,
-    )
-    wrapper.set_watermarker(spec)
-    g1 = GenParams(temperature=1.0, guidance_scale=4.0, decode_phases=1)
-    g4 = GenParams(temperature=1.0, guidance_scale=4.0, decode_phases=4)
-    c1 = wrapper.sample([1, 2], g1, apply_watermark=True, rng=jax.random.PRNGKey(3))
-    c4 = wrapper.sample([1, 2], g4, apply_watermark=True, rng=jax.random.PRNGKey(3))
-    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c4))
-
-
 def test_rar_spatial_watermark_e2e(rar_params, mg_vq):
     """Spatial seeding: generation contexts line up with spatial-ngram
     detection (grid neighbors), end to end."""

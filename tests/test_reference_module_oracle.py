@@ -924,3 +924,92 @@ def test_maskgit_vqgan_vs_reference():
         (np.transpose(rec, (0, 3, 1, 2)) + 1.0) / 2.0,
         np.clip(rec_ref, 0, 1), atol=5e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# SyncSeal model-zoo variants (embedder.py:38-67, extractor.py:70-96)
+# ---------------------------------------------------------------------------
+
+
+def test_syncseal_vae_embedder_vs_reference():
+    """Reference VAEEmbedder (syncseal/modules/vae.py GroupNorm(16) encoder ->
+    decoder) against convert_vae_embedder + vae_embedder_forward."""
+    import syncseal.modules.vae as ref_vae
+
+    from wmar_tpu.models.vqgan import VQGANConfig
+    from wmar_tpu.sync import syncseal_zoo as zoo
+
+    torch.manual_seed(11)
+    # ch=16 so syncseal's GroupNorm(16) divides every width
+    enc = ref_vae.VAEEncoder(ch=16, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+                             attn_resolutions=[16], in_channels=3, resolution=32,
+                             z_channels=4, double_z=True).eval()
+    dec = ref_vae.VAEDecoder(ch=16, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+                             attn_resolutions=[16], in_channels=3, resolution=32,
+                             z_channels=8, tanh_out=True).eval()
+    x01 = torch.rand(2, 3, 32, 32)
+    with torch.no_grad():
+        # == VAEEmbedder.forward (embedder.py:52-67): preprocess, enc, dec.
+        # Composed directly to avoid importing syncseal.models' __init__
+        # (it drags sync_model -> augmentation -> torchvision).
+        out_ref = dec(enc(x01 * 2 - 1))
+
+    cfg = zoo.VAEEmbedderConfig(
+        encoder=VQGANConfig(resolution=32, ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                            attn_resolutions=(16,), z_channels=4, double_z=True,
+                            norm_groups=16, n_embed=1, embed_dim=4),
+        decoder=VQGANConfig(resolution=32, ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                            attn_resolutions=(16,), z_channels=8, tanh_out=True,
+                            norm_groups=16, n_embed=1, embed_dim=8),
+    )
+    sd = {}
+    sd.update({f"encoder.{k}": v for k, v in _np_sd(enc).items()})
+    sd.update({f"decoder.{k}": v for k, v in _np_sd(dec).items()})
+    params = jax.tree.map(jnp.asarray, zoo.convert_vae_embedder(sd, cfg))
+    out = zoo.vae_embedder_forward(params, cfg,
+                                   jnp.asarray(x01.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.transpose(out, (0, 3, 1, 2)), out_ref.numpy(),
+                               atol=5e-4)
+
+
+def test_syncseal_seg_extractor_vs_reference():
+    """Reference SegmentationExtractor forward (sam ViTDet -> PixelDecoder,
+    NO [-1,1] preprocess — extractor.py:84-96 composes them directly) against
+    convert_seg_extractor + seg_extractor_forward. The torch side composes
+    the same two modules to avoid importing syncseal.models (whose __init__
+    drags in the augmentation/torchvision chain)."""
+    from syncseal.modules.pixel_decoder import PixelDecoder
+    from syncseal.modules.vit import ImageEncoderViT
+
+    from wmar_tpu.sync import syncseal_zoo as zoo
+    from wmar_tpu.sync.wam_exact import SAMViTConfig
+
+    torch.manual_seed(12)
+    enc = ImageEncoderViT(
+        img_size=32, patch_size=8, embed_dim=16, out_chans=16, depth=2,
+        num_heads=2, window_size=2, global_attn_indexes=(1,), use_rel_pos=True,
+    ).eval()
+    with torch.no_grad():
+        for blk in enc.blocks:
+            blk.attn.rel_pos_h.normal_(0, 0.02)
+            blk.attn.rel_pos_w.normal_(0, 0.02)
+    pd = PixelDecoder(embed_dim=16, nbits=4, upscale_stages=[2, 2, 2],
+                      upscale_type="bilinear").eval()
+    x = torch.rand(2, 3, 32, 32)
+    with torch.no_grad():
+        out_ref = pd(enc(x))  # == SegmentationExtractor.forward
+
+    sd = {}
+    sd.update({f"image_encoder.{k}": v for k, v in _np_sd(enc).items()})
+    sd.update({f"pixel_decoder.{k}": v for k, v in _np_sd(pd).items()})
+    cfg = zoo.SegExtractorConfig(
+        vit=SAMViTConfig(img_size=32, patch_size=8, embed_dim=16, out_chans=16,
+                         depth=2, num_heads=2, window_size=2,
+                         global_attn_indexes=(1,)),
+        upscale_stages=(2, 2, 2), nparams=4,
+    )
+    params = jax.tree.map(jnp.asarray, zoo.convert_seg_extractor(sd, cfg))
+    out = zoo.seg_extractor_forward(params, cfg,
+                                    jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.transpose(out, (0, 3, 1, 2)), out_ref.numpy(),
+                               atol=5e-4)

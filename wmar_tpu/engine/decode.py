@@ -101,8 +101,6 @@ def decode_tokens(
     sampler: SamplerConfig,
     watermark: Optional[WatermarkRuntime] = None,
     cond_tokens: Optional[jnp.ndarray] = None,
-    phases: int = 1,
-    cache_len_for_step=None,
 ) -> Tuple[jnp.ndarray, Any]:
     """Sample ``num_steps`` tokens autoregressively.
 
@@ -120,14 +118,15 @@ def decode_tokens(
         ``past_ids`` *including* conditioning (``mingpt.py:349``), so the
         first image token is watermarked with the class token as context.
         Pass ``None`` for RAR-style models (context starts empty).
-      phases: split the scan into this many stages with growing KV-cache
-        windows. Decode attention reads the whole (padded) cache each step,
-        so early steps over a short slice cut HBM traffic nearly in half at
-        phases=4. Requires ``cache`` to be a :class:`KVCache` and
-        ``cache_len_for_step(s) -> required cache length after step s``.
 
     Returns:
       ``(tokens [B, num_steps], final_cache)``.
+
+    Growing-window "phased" decode was removed after measurement: separate
+    cache windows lost to the single full-window scan on-chip (23 -> 17
+    imgs/s RAR), and the chunked packed kernel (``WMAR_PACKED_CHUNK``,
+    ``ops/flash_decode.py``) covers the long-context case inside ONE
+    program (PERFORMANCE.md).
     """
     b = init_logits.shape[0]
     c = 0 if cond_tokens is None else cond_tokens.shape[1]
@@ -143,30 +142,8 @@ def decode_tokens(
         return token0[:, None], cache
 
     body = make_decode_body(step_fn, sample_one, c)
-
-    from wmar_tpu.engine.kvcache import KVCache
-
-    if phases > 1 and cache_len_for_step is not None and isinstance(cache, KVCache):
-        t_max = cache.max_len
-        bounds = [1 + ((num_steps - 1) * (p + 1)) // phases for p in range(phases)]
-        chunks = []
-        prev_tok = token0
-        s_lo = 1
-        for s_hi in bounds:
-            if s_hi <= s_lo:
-                continue
-            t_hi = min(t_max, int(cache_len_for_step(s_hi - 1)))
-            cache_p = cache.slice_to(t_hi)
-            (cache_p, buffer, prev_tok), toks = jax.lax.scan(
-                body, (cache_p, buffer, prev_tok), jnp.arange(s_lo, s_hi, dtype=jnp.int32)
-            )
-            cache = cache.merge_prefix(cache_p)
-            chunks.append(toks)
-            s_lo = s_hi
-        rest = jnp.concatenate(chunks, axis=0) if chunks else jnp.zeros((0, b), token0.dtype)
-    else:
-        (cache, buffer, _), rest = jax.lax.scan(
-            body, (cache, buffer, token0), jnp.arange(1, num_steps, dtype=jnp.int32)
-        )
+    (cache, buffer, _), rest = jax.lax.scan(
+        body, (cache, buffer, token0), jnp.arange(1, num_steps, dtype=jnp.int32)
+    )
     tokens = jnp.concatenate([token0[None], rest], axis=0).T  # [B, S]
     return tokens, cache

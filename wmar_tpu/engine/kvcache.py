@@ -55,8 +55,6 @@ class KVCache:
             # decode attention is cache-read bandwidth bound (PERFORMANCE.md);
             # int8 halves the bytes vs bf16 at ~1/254 quantization noise
             return QuantKVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
-        if dtype in ("int4", getattr(jnp, "int4", "int4")):
-            return Quant4KVCache.zeros(n_layers, batch, n_heads, max_len, head_dim)
         if dtype == "packed":
             return PackedQuantKVCache.zeros(n_layers, batch, n_heads, max_len,
                                             head_dim, mesh=mesh, dp_axis=dp_axis,
@@ -86,20 +84,6 @@ class KVCache:
     def layer(self, layer: int):
         """Full-length K/V for one layer: ``([B, H, T_max, D], [B, H, T_max, D])``."""
         return self.k[layer], self.v[layer]
-
-    def slice_to(self, t: int) -> "KVCache":
-        """Static-length prefix view (phased decoding: early steps attend a
-        short cache so HBM reads scale with the valid prefix)."""
-        return KVCache(k=self.k[:, :, :, :t], v=self.v[:, :, :, :t])
-
-    def merge_prefix(self, prefix: "KVCache") -> "KVCache":
-        """Write a shorter-T cache back into this one's leading slots."""
-        zeros = (jnp.int32(0),) * 5
-        return KVCache(
-            k=jax.lax.dynamic_update_slice(self.k, prefix.k.astype(self.k.dtype), zeros),
-            v=jax.lax.dynamic_update_slice(self.v, prefix.v.astype(self.v.dtype), zeros),
-        )
-
 
 @flax.struct.dataclass
 class QuantKVCache:
@@ -161,23 +145,6 @@ class QuantKVCache:
         k = self.k[layer].astype(jnp.bfloat16) * self.k_scale[layer][..., None]
         v = self.v[layer].astype(jnp.bfloat16) * self.v_scale[layer][..., None]
         return k, v
-
-    def slice_to(self, t: int) -> "QuantKVCache":
-        return QuantKVCache(
-            k=self.k[:, :, :, :t], v=self.v[:, :, :, :t],
-            k_scale=self.k_scale[:, :, :, :t], v_scale=self.v_scale[:, :, :, :t],
-        )
-
-    def merge_prefix(self, prefix: "QuantKVCache") -> "QuantKVCache":
-        zeros5 = (jnp.int32(0),) * 5
-        zeros4 = (jnp.int32(0),) * 4
-        return QuantKVCache(
-            k=jax.lax.dynamic_update_slice(self.k, prefix.k, zeros5),
-            v=jax.lax.dynamic_update_slice(self.v, prefix.v, zeros5),
-            k_scale=jax.lax.dynamic_update_slice(self.k_scale, prefix.k_scale, zeros4),
-            v_scale=jax.lax.dynamic_update_slice(self.v_scale, prefix.v_scale, zeros4),
-        )
-
 
 @flax.struct.dataclass
 class PackedQuantKVCache:
@@ -296,17 +263,6 @@ class PackedQuantKVCache:
             unpack(pay[:, :, :, 1], sc[:, :, 1]),
         )
 
-    def slice_to(self, t: int) -> "PackedQuantKVCache":
-        return self.replace(kv=self.kv[:, :, :t], scale=self.scale[..., :t])
-
-    def merge_prefix(self, prefix: "PackedQuantKVCache") -> "PackedQuantKVCache":
-        zeros4 = (jnp.int32(0),) * 4
-        return self.replace(
-            kv=jax.lax.dynamic_update_slice(self.kv, prefix.kv, zeros4),
-            scale=jax.lax.dynamic_update_slice(self.scale, prefix.scale, zeros4),
-        )
-
-
 @flax.struct.dataclass
 class Packed4QuantKVCache:
     """int4 KV cache in the packed-heads layout: ONE ``[L, B, T, H*D]``
@@ -405,115 +361,4 @@ class Packed4QuantKVCache:
         return (
             unpack(u & 0xF, sc[:, :, 0]),
             unpack(u >> 4, sc[:, :, 1]),
-        )
-
-    def slice_to(self, t: int) -> "Packed4QuantKVCache":
-        return self.replace(kv=self.kv[:, :, :t], scale=self.scale[..., :t])
-
-    def merge_prefix(self, prefix: "Packed4QuantKVCache") -> "Packed4QuantKVCache":
-        zeros4 = (jnp.int32(0),) * 4
-        return self.replace(
-            kv=jax.lax.dynamic_update_slice(self.kv, prefix.kv, zeros4),
-            scale=jax.lax.dynamic_update_slice(self.scale, prefix.scale, zeros4),
-        )
-
-
-@flax.struct.dataclass
-class Quant4KVCache:
-    """int4 KV cache: two 4-bit values nibble-packed per int8 byte, with
-    per-(token, head) absmax scales.
-
-    One more halving of the dominant decode-attention cache reads beyond
-    :class:`QuantKVCache` (PERFORMANCE.md: reads are 1.9 s of a 2.78 s
-    RAR-XL batch at bf16). Manual nibble packing guarantees the byte count
-    regardless of backend 4-bit layout support; the unpack (shift/mask) is
-    elementwise VPU work that XLA fuses into the attention dots. Noise is
-    ~1/14 of each token's absmax — appreciably coarser than int8, so this
-    stays opt-in (``--cache_dtype int4`` / ``BENCH_CACHE=int4``) with
-    quality measured, not assumed.
-
-    k, v: uint8 ``[L, B, H, T, D//2]`` (low nibble = even dims);
-    k_scale, v_scale: bf16 ``[L, B, H, T]``.
-    """
-
-    k: jnp.ndarray
-    v: jnp.ndarray
-    k_scale: jnp.ndarray
-    v_scale: jnp.ndarray
-
-    @classmethod
-    def zeros(cls, n_layers: int, batch: int, n_heads: int, max_len: int, head_dim: int):
-        assert head_dim % 2 == 0, "int4 packing needs an even head_dim"
-        shape = (n_layers, batch, n_heads, max_len, head_dim // 2)
-        sshape = shape[:-1]
-        return cls(
-            k=jnp.zeros(shape, jnp.uint8), v=jnp.zeros(shape, jnp.uint8),
-            k_scale=jnp.zeros(sshape, jnp.bfloat16), v_scale=jnp.zeros(sshape, jnp.bfloat16),
-        )
-
-    @property
-    def max_len(self) -> int:
-        return self.k.shape[3]
-
-    @staticmethod
-    def _quantize(x: jnp.ndarray):
-        """[B, H, t, D] -> (nibble-packed uint8 [B, H, t, D//2], bf16 scale).
-
-        De-interleaved layout: the low nibble holds dim d, the high nibble
-        dim d + D/2 — unpack is then a plain concatenate (no even/odd
-        stack + reshape shuffle, which XLA lowers to an expensive
-        interleave). Attention is permutation-invariant along head_dim as
-        long as Q/K use the same layout, and V's permutation is undone by
-        ``wo`` only for *converted* weights — so the dequantize below
-        restores the original order explicitly via the split+concat, which
-        IS the inverse of this packing.
-        """
-        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-        scale = jnp.maximum(absmax, 1e-8) / 7.0
-        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7)
-        u = (q + 8.0).astype(jnp.uint8)  # [1, 15]
-        half = u.shape[-1] // 2
-        lo, hi = u[..., :half], u[..., half:]
-        packed = lo | (hi << 4)  # uint8 payload
-        return packed, scale.astype(jnp.bfloat16)
-
-    @staticmethod
-    def _dequantize(packed: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
-        u = packed
-        lo = (u & 0xF).astype(jnp.bfloat16) - 8.0
-        hi = ((u >> 4) & 0xF).astype(jnp.bfloat16) - 8.0
-        x = jnp.concatenate([lo, hi], axis=-1)
-        return x * scale[..., None]
-
-    def write(self, layer: int, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "Quant4KVCache":
-        kq, ks = self._quantize(k_new)
-        vq, vs = self._quantize(v_new)
-        idx = (jnp.int32(layer), jnp.int32(0), jnp.int32(0), jnp.asarray(pos, jnp.int32), jnp.int32(0))
-        sidx = idx[:-1]
-        return Quant4KVCache(
-            k=jax.lax.dynamic_update_slice(self.k, kq[None], idx),
-            v=jax.lax.dynamic_update_slice(self.v, vq[None], idx),
-            k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks[None], sidx),
-            v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs[None], sidx),
-        )
-
-    def layer(self, layer: int):
-        k = self._dequantize(self.k[layer], self.k_scale[layer])
-        v = self._dequantize(self.v[layer], self.v_scale[layer])
-        return k, v
-
-    def slice_to(self, t: int) -> "Quant4KVCache":
-        return Quant4KVCache(
-            k=self.k[:, :, :, :t], v=self.v[:, :, :, :t],
-            k_scale=self.k_scale[:, :, :, :t], v_scale=self.v_scale[:, :, :, :t],
-        )
-
-    def merge_prefix(self, prefix: "Quant4KVCache") -> "Quant4KVCache":
-        zeros5 = (jnp.int32(0),) * 5
-        zeros4 = (jnp.int32(0),) * 4
-        return Quant4KVCache(
-            k=jax.lax.dynamic_update_slice(self.k, prefix.k, zeros5),
-            v=jax.lax.dynamic_update_slice(self.v, prefix.v, zeros5),
-            k_scale=jax.lax.dynamic_update_slice(self.k_scale, prefix.k_scale, zeros4),
-            v_scale=jax.lax.dynamic_update_slice(self.v_scale, prefix.v_scale, zeros4),
         )

@@ -47,12 +47,6 @@ class GenParams:
     greedy: bool = False
     guidance_scale: float = 4.0
     guidance_scale_pow: float = 0.0
-    # KV-cache window phases for the decode scan (1 = single full-size
-    # window). Phasing cuts decode-attention HBM reads nearly in half in
-    # exchange for extra program boundaries; measured on a tunneled v5e the
-    # boundary cost outweighs the read savings (23 -> 17 imgs/s), so 1 is
-    # the default — revisit on directly-attached chips.
-    decode_phases: int = 1
 
     def sampler(self) -> SamplerConfig:
         return SamplerConfig(
@@ -176,8 +170,6 @@ class TamingARMM(ARMMWrapper):
                 gen.sampler(),
                 watermark=wm,
                 cond_tokens=class_ids[:, None],
-                phases=gen.decode_phases,
-                cache_len_for_step=lambda s: 1 + s,  # cond + generated
             )
             return tokens
 
@@ -265,90 +257,14 @@ class RarARMM(ARMMWrapper):
                 gen.sampler(),
                 watermark=wm,
                 cond_tokens=None,  # RAR's processor sees generated ids only
-                phases=gen.decode_phases,
-                cache_len_for_step=lambda s: s + 2,  # [cls, cond] prefix
             )
             return tokens
 
         return fn
 
-    def _build_sample_split(self, gen: GenParams, apply_watermark: bool):
-        """Phased decode as SEPARATE jitted programs per cache window.
-
-        Early steps attend a short cache slice, cutting decode-attention HBM
-        reads nearly in half; separate programs (instead of one jit with N
-        scans) keep each compile small enough for constrained remote
-        compilers. Token streams are identical to the single-program path
-        (same per-step fold_in keys)."""
-        rar_cfg = self.rar_cfg
-        cache_dtype = self.cache_dtype
-        wm = self.watermark_runtime() if apply_watermark else None
-        s_total = rar_cfg.image_seq_len
-        p_total = gen.decode_phases
-        bounds = [1 + ((s_total - 1) * (p + 1)) // p_total for p in range(p_total)]
-
-        def make_rar(params, class_ids):
-            return RARSampler(
-                params, rar_cfg, class_ids,
-                guidance_scale=gen.guidance_scale,
-                guidance_scale_pow=gen.guidance_scale_pow,
-                cache_dtype=cache_dtype,
-            )
-
-        from wmar_tpu.engine.decode import make_decode_body, make_sampler_fn
-
-        @jax.jit
-        def start_fn(params, class_ids, rng):
-            sampler = make_rar(params, class_ids)
-            init_logits, cache = sampler.prefill()
-            buffer = jnp.zeros((class_ids.shape[0], s_total), jnp.int32)
-            sample_one = make_sampler_fn(gen.sampler(), wm, rng, 0)
-            tok0 = sample_one(init_logits, buffer, jnp.int32(0))
-            return cache, buffer.at[:, 0].set(tok0), tok0
-
-        phase_fns = []
-        s_lo = 1
-        for s_hi in bounds:
-            if s_hi <= s_lo:
-                continue
-            t_hi = min(rar_cfg.max_positions, s_hi + 1)  # pos of step s is s+1
-
-            def make_phase(s_lo=s_lo, s_hi=s_hi, t_hi=t_hi):
-                def fn(params, class_ids, cache, buffer, prev, rng):
-                    sampler = make_rar(params, class_ids)
-                    sample_one = make_sampler_fn(gen.sampler(), wm, rng, 0)
-                    body = make_decode_body(sampler.step_fn, sample_one, 0)
-                    cache_p = cache.slice_to(t_hi)
-                    (cache_p, buffer, prev), toks = jax.lax.scan(
-                        body, (cache_p, buffer, prev),
-                        jnp.arange(s_lo, s_hi, dtype=jnp.int32),
-                    )
-                    return cache.merge_prefix(cache_p), buffer, prev, toks
-
-                return jax.jit(fn, donate_argnums=(2, 3))
-
-            phase_fns.append(make_phase())
-            s_lo = s_hi
-
-        def sample_fn(params, class_ids, rng):
-            cache, buffer, prev = start_fn(params, class_ids, rng)
-            pieces = [prev[:, None]]
-            for pf in phase_fns:
-                cache, buffer, prev, toks = pf(params, class_ids, cache, buffer, prev, rng)
-                pieces.append(toks.T)
-            return jnp.concatenate(pieces, axis=1)
-
-        return sample_fn
-
     def sample(self, conditioning, gen_params: GenParams, apply_watermark=False, rng=None):
         class_ids = jnp.asarray(conditioning, jnp.int32).reshape(-1)
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        if gen_params.decode_phases > 1:
-            key = ("sample_split", gen_params, apply_watermark)
-            fn = self._jit_cache.get(key)
-            if fn is None:
-                fn = self._jit_cache[key] = self._build_sample_split(gen_params, apply_watermark)
-            return fn(self.rar_params, class_ids, rng)
         fn = self._cached_jit(
             ("sample", gen_params, apply_watermark),
             lambda: self._build_sample(gen_params, apply_watermark),

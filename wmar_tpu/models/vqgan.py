@@ -39,6 +39,8 @@ class VQGANConfig:
     embed_dim: int = 256
     dropout: float = 0.0
     double_z: bool = False
+    norm_groups: int = 32  # GroupNorm groups (taming/WAM 32; syncseal VAE 16)
+    tanh_out: bool = False  # decoder tail tanh (syncseal vae.py VAEDecoder)
 
     @property
     def num_resolutions(self) -> int:
@@ -57,21 +59,22 @@ TAMING_IMAGENET_F16 = VQGANConfig()
 CHAMELEON_F16 = VQGANConfig(resolution=512, n_embed=8192, attn_resolutions=())
 
 
-def _norm():
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6)
+def _norm(groups: int = 32):
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-6)
 
 
 class ResnetBlock(nn.Module):
     out_ch: int
     dropout: float = 0.0
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = _norm()(x)
+        h = _norm(self.groups)(x)
         h = nn.swish(h)
         h = nn.Conv(self.out_ch, (3, 3), name="conv1")(h)
-        h = _norm()(h)
+        h = _norm(self.groups)(h)
         h = nn.swish(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -84,10 +87,12 @@ class ResnetBlock(nn.Module):
 class AttnBlock(nn.Module):
     """Single-head full self-attention over the spatial grid (1x1 convs)."""
 
+    groups: int = 32
+
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hn = _norm()(x)
+        hn = _norm(self.groups)(x)
         q = nn.Conv(c, (1, 1), name="q")(hn).reshape(b, h * w, c)
         k = nn.Conv(c, (1, 1), name="k")(hn).reshape(b, h * w, c)
         v = nn.Conv(c, (1, 1), name="v")(hn).reshape(b, h * w, c)
@@ -123,20 +128,20 @@ class Encoder(nn.Module):
         cfg = self.cfg
         curr_res = cfg.resolution
         h = nn.Conv(cfg.ch, (3, 3), name="conv_in")(x)
+        g = cfg.norm_groups
         for i_level, mult in enumerate(cfg.ch_mult):
             for i_block in range(cfg.num_res_blocks):
-                h = ResnetBlock(cfg.ch * mult, cfg.dropout, name=f"down_{i_level}_block_{i_block}")(
-                    h, deterministic
-                )
+                h = ResnetBlock(cfg.ch * mult, cfg.dropout, g,
+                                name=f"down_{i_level}_block_{i_block}")(h, deterministic)
                 if curr_res in cfg.attn_resolutions:
-                    h = AttnBlock(name=f"down_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(g, name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != cfg.num_resolutions - 1:
                 h = Downsample(name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
-        h = ResnetBlock(h.shape[-1], cfg.dropout, name="mid_block_1")(h, deterministic)
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], cfg.dropout, name="mid_block_2")(h, deterministic)
-        h = _norm()(h)
+        h = ResnetBlock(h.shape[-1], cfg.dropout, g, name="mid_block_1")(h, deterministic)
+        h = AttnBlock(g, name="mid_attn_1")(h)
+        h = ResnetBlock(h.shape[-1], cfg.dropout, g, name="mid_block_2")(h, deterministic)
+        h = _norm(g)(h)
         h = nn.swish(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return nn.Conv(out_ch, (3, 3), name="conv_out")(h)
@@ -149,25 +154,27 @@ class Decoder(nn.Module):
     def __call__(self, z, deterministic: bool = True):
         cfg = self.cfg
         block_in = cfg.ch * cfg.ch_mult[-1]
+        g = cfg.norm_groups
         h = nn.Conv(block_in, (3, 3), name="conv_in")(z)
-        h = ResnetBlock(block_in, cfg.dropout, name="mid_block_1")(h, deterministic)
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, cfg.dropout, name="mid_block_2")(h, deterministic)
+        h = ResnetBlock(block_in, cfg.dropout, g, name="mid_block_1")(h, deterministic)
+        h = AttnBlock(g, name="mid_attn_1")(h)
+        h = ResnetBlock(block_in, cfg.dropout, g, name="mid_block_2")(h, deterministic)
         curr_res = cfg.codes_per_side
         for i_level in reversed(range(cfg.num_resolutions)):
             out_ch = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks + 1):
-                h = ResnetBlock(out_ch, cfg.dropout, name=f"up_{i_level}_block_{i_block}")(
+                h = ResnetBlock(out_ch, cfg.dropout, g, name=f"up_{i_level}_block_{i_block}")(
                     h, deterministic
                 )
                 if curr_res in cfg.attn_resolutions:
-                    h = AttnBlock(name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(g, name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
-        h = _norm()(h)
+        h = _norm(g)(h)
         h = nn.swish(h)
-        return nn.Conv(cfg.out_channels, (3, 3), name="conv_out")(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), name="conv_out")(h)
+        return jnp.tanh(h) if cfg.tanh_out else h
 
 
 class VectorQuantizer(nn.Module):

@@ -18,11 +18,15 @@ images; the method registry provides:
   tests and the ``eval_wm`` pipeline can run end-to-end in this
   zero-egress environment; the reference has no counterpart because all
   its baselines assume downloaded weights.
-* ``hidden`` / ``mbrs`` / ``cin`` / ``trustmark`` / ``videoseal`` — their
-  reference implementations are third-party TorchScript blobs whose
-  graphs are not part of the reference repo; they are registered as
-  conversion stubs that fail with instructions rather than silently
-  producing random-weight results.
+* ``hidden`` — real port: the public HiDDeN architecture
+  (:mod:`wmar_tpu.sync.hidden`) with a converter that reads the weights
+  out of the reference's TorchScript blobs
+  (``checkpoints/hidden_{encoder,decoder}_48b.pt``).
+* ``mbrs`` / ``cin`` / ``trustmark`` / ``videoseal`` — their reference
+  implementations are third-party TorchScript blobs whose architectures
+  are not part of the reference repo; they are registered as conversion
+  stubs that fail with instructions rather than silently producing
+  random-weight results.
 """
 
 from __future__ import annotations
@@ -181,7 +185,6 @@ _CONVERT_HINT = (
 )
 
 _STUB_FILES = {
-    "hidden": "hidden_{encoder,decoder}_48b.pt",
     "mbrs": "mbrs_256_m256_{encoder,decoder}.pt",
     "cin": "cin_nsm_{encoder,decoder}.pt",
     "trustmark": "trustmark_{encoder,decoder}_q.pt",
@@ -246,6 +249,51 @@ def build_baseline(
                                  scaling_w=scaling_w, scaling_i=scaling_i,
                                  img_size=img_size, clamp=clamp,
                                  rounding=rounding)
+    if method == "hidden":
+        from wmar_tpu.sync import hidden as H
+
+        if params_path:
+            # params_path: directory holding the two reference blobs, or a
+            # comma-separated "encoder.pt,decoder.pt" pair. The converter
+            # reads tensors out of the TorchScript archives directly.
+            import os
+
+            if "," in params_path:
+                enc_path, dec_path = params_path.split(",", 1)
+            else:
+                enc_path = os.path.join(params_path, "hidden_encoder_48b.pt")
+                dec_path = os.path.join(params_path, "hidden_decoder_48b.pt")
+            enc_p, dec_p, enc_cfg, dec_cfg = H.load_hidden_torchscript(enc_path, dec_path)
+        elif allow_random:
+            enc_cfg = dec_cfg = H.HiddenConfig(num_bits=nbits)
+            enc_p, dec_p = H.init_hidden_params(seed, enc_cfg)
+        else:
+            raise ValueError(
+                "hidden baseline needs the reference's TorchScript blobs "
+                "(params_path=checkpoints/ or 'enc.pt,dec.pt') — random "
+                "weights do not watermark; pass allow_random=True only for "
+                "smoke tests")
+        enc_p = jax.tree.map(jnp.asarray, enc_p)
+        dec_p = jax.tree.map(jnp.asarray, dec_p)
+
+        def hidden_embed(imgs01, msgs_pm1):
+            # BaselineHiddenEmbedder.forward (baselines.py:32-48): normalize,
+            # encode, multiply back by the channel stds. NOTE the reference
+            # returns the full de-normalized output (not a residual) — the
+            # wrapper's scaling_w=0.2 applies to that, mirrored here.
+            out = H.hidden_encoder_forward(enc_p, enc_cfg, H.normalize(imgs01), msgs_pm1)
+            return H.denormalize_signal(out)
+
+        def hidden_detect(imgs01):
+            msgs = H.hidden_decoder_forward(dec_p, dec_cfg, H.normalize(imgs01))
+            return jnp.concatenate(
+                [jnp.zeros((msgs.shape[0], 1), msgs.dtype), msgs], axis=-1)
+
+        return EmbedderExtractor(hidden_embed, hidden_detect,
+                                 nbits=enc_cfg.num_bits,
+                                 scaling_w=0.2,  # registry default (:573)
+                                 scaling_i=scaling_i, img_size=img_size,
+                                 clamp=clamp, rounding=rounding)
     if method in _STUB_FILES:
         raise NotImplementedError(
             _CONVERT_HINT.format(m=method, files=_STUB_FILES[method]))

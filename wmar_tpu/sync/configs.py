@@ -34,9 +34,12 @@ def _load_yaml(path: str) -> dict:
 
 
 def load_embedder_config(path: str):
-    """embedder.yaml -> UNetConfig. Selects the entry named by the top-level
-    ``model:`` key (suffix-matched like the reference's builder, so
-    ``model: unet_small2_yuv_quant`` resolves ``unet_small2_yuv_quantizable``)."""
+    """embedder.yaml -> the matching registry config. Selects the entry named
+    by the top-level ``model:`` key (suffix-matched like the reference's
+    builder, so ``model: unet_small2_yuv_quant`` resolves
+    ``unet_small2_yuv_quantizable``). Registry dispatch mirrors
+    ``embedder.py:99-110``: ``vae*`` -> :class:`VAEEmbedderConfig`,
+    ``unet*`` -> :class:`UNetConfig`."""
     from wmar_tpu.sync.syncseal_models import UNetConfig
 
     d = _load_yaml(path)
@@ -49,6 +52,16 @@ def load_embedder_config(path: str):
             raise ValueError(f"{path}: no model entry matching {name!r}")
         entry = d[matches[0]]
         name = matches[0]
+    if name.startswith("vae") or ("encoder" in entry and "decoder" in entry):
+        from wmar_tpu.sync.syncseal_zoo import vae_embedder_config
+
+        return vae_embedder_config(entry, name)
+    if not name.startswith("unet") and not (
+        {"z_channels", "num_blocks", "z_channels_mults"} & set(entry)
+    ):
+        raise NotImplementedError(
+            f"{path}: embedder {name!r} not in the registry "
+            "(embedder.py:99-110 knows vae* and unet*)")
     act = entry.get("activation", "gelu")
     norm = entry.get("normalization", "group")
     if act not in ("gelu", "relu") or norm not in ("group", "batch"):
@@ -68,12 +81,26 @@ def load_embedder_config(path: str):
     )
 
 
-def load_extractor_config(path: str):
-    """extractor.yaml -> ConvNeXtConfig (encoder depths/dims + head out_dim)."""
+def load_extractor_config(path: str, img_size: int = 256):
+    """extractor.yaml -> the matching registry config. Dispatch mirrors
+    ``extractor.py:99-110``: ``convnext*`` -> :class:`ConvNeXtConfig`,
+    ``sam*`` -> :class:`SegExtractorConfig` (with ``img_size`` forced by the
+    caller like the reference)."""
     from wmar_tpu.sync.syncseal_models import ConvNeXtConfig
 
     d = _load_yaml(path)
-    entry = d[d.get("model", "convnext_tiny")]
+    name = d.get("model", "convnext_tiny")
+    entry = d[name]
+    if name.startswith("sam") or "pixel_decoder" in entry:
+        from wmar_tpu.sync.syncseal_zoo import seg_extractor_config
+
+        return seg_extractor_config(entry, img_size=img_size)
+    if not name.startswith("convnext") and not (
+        {"encoder", "head"} & set(entry)
+    ):
+        raise NotImplementedError(
+            f"{path}: extractor {name!r} not in the registry "
+            "(extractor.py:99-110 knows convnext* and sam*)")
     enc = entry.get("encoder", {})
     head = entry.get("head", {})
     return ConvNeXtConfig(

@@ -347,20 +347,15 @@ def _linp(sd, p):
     return out
 
 
-def convert_wam(sd, vit_cfg: SAMViTConfig = SAM_BASE, upscale_stages=(4, 2, 2),
-                enc_cfg: VQGANConfig = WAM_ENC_CFG,
-                dec_cfg: VQGANConfig = WAM_DEC_CFG) -> dict:
-    """``wam_mit.pth`` -> WamExact params (embedder VAE via the taming
-    converter; ViT/pixel-decoder per the layouts above). Attenuation convs
-    are fixed kernels and augmenter params are training-only — both skipped."""
-    from wmar_tpu.utils.convert import (
-        _convert_taming_decoder,
-        _convert_taming_encoder,
-    )
+def convert_vit(sd, vit_cfg: SAMViTConfig, prefix: str) -> dict:
+    """ViTDet ``ImageEncoderViT`` state dict -> :func:`sam_encoder` params.
 
+    Shared by WAM's detector and syncseal's ``SegmentationExtractor`` — the
+    reference modules are byte-identical (``watermark_anything/modules/vit.py``
+    vs ``syncseal/syncseal/modules/vit.py``)."""
     blocks = []
     for i in range(vit_cfg.depth):
-        p = f"detector.image_encoder.blocks.{i}."
+        p = f"{prefix}blocks.{i}."
         blocks.append(
             {
                 "norm1": _lnp(sd, p + "norm1"),
@@ -375,46 +370,55 @@ def convert_wam(sd, vit_cfg: SAMViTConfig = SAM_BASE, upscale_stages=(4, 2, 2),
                 "mlp_lin2": _linp(sd, p + "mlp.lin2"),
             }
         )
+    return {
+        "patch_embed": {
+            "kernel": np.ascontiguousarray(
+                np.transpose(sd[prefix + "patch_embed.proj.weight"], (2, 3, 1, 0))
+            ),
+            "bias": np.asarray(sd[prefix + "patch_embed.proj.bias"]),
+        },
+        "pos_embed": np.asarray(sd[prefix + "pos_embed"]),
+        "blocks": blocks,
+        "neck0": _cv(sd, prefix + "neck.0"),
+        "neck1": _lnp(sd, prefix + "neck.1"),
+        "neck2": _cv(sd, prefix + "neck.2"),
+        "neck3": _lnp(sd, prefix + "neck.3"),
+    }
+
+
+def convert_pixel_decoder(sd, upscale_stages, prefix: str) -> List[dict]:
+    """``PixelDecoder`` state dict -> :func:`pixel_decoder` params (same
+    sharing as :func:`convert_vit`)."""
     pd = []
     for si, factor in enumerate(upscale_stages):
-        p = f"detector.pixel_decoder.output_upscaling.{si}.upsample_block."
+        p = f"{prefix}output_upscaling.{si}.upsample_block."
         pd.append({"factor": factor, "conv": _cv(sd, p + "2"), "ln": _lnp(sd, p + "3")})
-    pd.append(_cv(sd, "detector.pixel_decoder.last_layer"))
+    pd.append(_cv(sd, prefix + "last_layer"))
+    return pd
+
+
+def convert_wam(sd, vit_cfg: SAMViTConfig = SAM_BASE, upscale_stages=(4, 2, 2),
+                enc_cfg: VQGANConfig = WAM_ENC_CFG,
+                dec_cfg: VQGANConfig = WAM_DEC_CFG) -> dict:
+    """``wam_mit.pth`` -> WamExact params (embedder VAE via the taming
+    converter; ViT/pixel-decoder per the layouts above). Attenuation convs
+    are fixed kernels and augmenter params are training-only — both skipped."""
+    from wmar_tpu.utils.convert import (
+        _convert_taming_decoder,
+        _convert_taming_encoder,
+    )
+
     return {
         "vae_encoder": _convert_taming_encoder(sd, enc_cfg, "embedder.encoder."),
         "msg_embeddings": np.asarray(sd["embedder.msg_processor.msg_embeddings.weight"]),
         "vae_decoder": _convert_taming_decoder(sd, dec_cfg, "embedder.decoder."),
-        "vit": {
-            "patch_embed": {
-                "kernel": np.ascontiguousarray(
-                    np.transpose(sd["detector.image_encoder.patch_embed.proj.weight"], (2, 3, 1, 0))
-                ),
-                "bias": np.asarray(sd["detector.image_encoder.patch_embed.proj.bias"]),
-            },
-            "pos_embed": np.asarray(sd["detector.image_encoder.pos_embed"]),
-            "blocks": blocks,
-            "neck0": _cv(sd, "detector.image_encoder.neck.0"),
-            "neck1": _lnp(sd, "detector.image_encoder.neck.1"),
-            "neck2": _cv(sd, "detector.image_encoder.neck.2"),
-            "neck3": _lnp(sd, "detector.image_encoder.neck.3"),
-        },
-        "pixel_decoder": pd,
+        "vit": convert_vit(sd, vit_cfg, "detector.image_encoder."),
+        "pixel_decoder": convert_pixel_decoder(sd, upscale_stages, "detector.pixel_decoder."),
     }
 
 
-def init_wam_params(seed: int, vit_cfg: SAMViTConfig = SAM_BASE,
-                    enc_cfg: VQGANConfig = WAM_ENC_CFG,
-                    dec_cfg: VQGANConfig = WAM_DEC_CFG,
-                    nbits: int = NBITS, upscale_stages=(4, 2, 2)) -> dict:
-    """Random params with converted-checkpoint shapes (tests / training)."""
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
-    hidden = 2 * nbits
-    enc_vars = Encoder(enc_cfg).init(key, jnp.zeros((1, enc_cfg.resolution, enc_cfg.resolution, 3)))
-    dec_in = enc_cfg.z_channels + hidden
-    dec_vars = Decoder(dec_cfg).init(
-        key, jnp.zeros((1, dec_cfg.codes_per_side, dec_cfg.codes_per_side, dec_in))
-    )
+def init_vit_params(rng: np.random.Generator, vit_cfg: SAMViTConfig) -> dict:
+    """Random ViTDet encoder params with converted-checkpoint shapes."""
 
     def lin(i, o):
         return {"w": rng.normal(0, i**-0.5, (i, o)).astype(np.float32),
@@ -440,7 +444,29 @@ def init_wam_params(seed: int, vit_cfg: SAMViTConfig = SAM_BASE,
             }
         )
     oc = vit_cfg.out_chans
-    pd, ch = [], oc
+    return {
+        "patch_embed": {
+            "kernel": rng.normal(0, 0.02, (vit_cfg.patch_size, vit_cfg.patch_size, 3, d)
+                                 ).astype(np.float32),
+            "bias": np.zeros((d,), np.float32),
+        },
+        "pos_embed": np.zeros((1, vit_cfg.grid, vit_cfg.grid, d), np.float32),
+        "blocks": blocks,
+        "neck0": {"kernel": rng.normal(0, d**-0.5, (1, 1, d, oc)).astype(np.float32)},
+        "neck1": ln(oc),
+        "neck2": {"kernel": rng.normal(0, (oc * 9) ** -0.5, (3, 3, oc, oc)).astype(np.float32)},
+        "neck3": ln(oc),
+    }
+
+
+def init_pixel_decoder_params(rng: np.random.Generator, out_chans: int,
+                              upscale_stages, out_channels: int) -> List[dict]:
+    """Random PixelDecoder params (``out_channels`` = 1 + nbits/nparams)."""
+
+    def ln(c):
+        return {"scale": np.ones((c,), np.float32), "bias": np.zeros((c,), np.float32)}
+
+    pd, ch = [], out_chans
     for factor in upscale_stages:
         out_ch = ch // factor
         pd.append({
@@ -450,24 +476,30 @@ def init_wam_params(seed: int, vit_cfg: SAMViTConfig = SAM_BASE,
             "ln": ln(out_ch),
         })
         ch = out_ch
-    pd.append({"kernel": rng.normal(0, (2.0 / ch) ** 0.5, (1, 1, ch, 1 + nbits)).astype(np.float32),
-               "bias": np.zeros((1 + nbits,), np.float32)})
+    pd.append({"kernel": rng.normal(0, (2.0 / ch) ** 0.5,
+                                    (1, 1, ch, out_channels)).astype(np.float32),
+               "bias": np.zeros((out_channels,), np.float32)})
+    return pd
+
+
+def init_wam_params(seed: int, vit_cfg: SAMViTConfig = SAM_BASE,
+                    enc_cfg: VQGANConfig = WAM_ENC_CFG,
+                    dec_cfg: VQGANConfig = WAM_DEC_CFG,
+                    nbits: int = NBITS, upscale_stages=(4, 2, 2)) -> dict:
+    """Random params with converted-checkpoint shapes (tests / training)."""
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    hidden = 2 * nbits
+    enc_vars = Encoder(enc_cfg).init(key, jnp.zeros((1, enc_cfg.resolution, enc_cfg.resolution, 3)))
+    dec_in = enc_cfg.z_channels + hidden
+    dec_vars = Decoder(dec_cfg).init(
+        key, jnp.zeros((1, dec_cfg.codes_per_side, dec_cfg.codes_per_side, dec_in))
+    )
     return {
         "vae_encoder": jax.tree.map(np.asarray, enc_vars["params"]),
         "msg_embeddings": rng.normal(0, 1, (2 * nbits, hidden)).astype(np.float32),
         "vae_decoder": jax.tree.map(np.asarray, dec_vars["params"]),
-        "vit": {
-            "patch_embed": {
-                "kernel": rng.normal(0, 0.02, (vit_cfg.patch_size, vit_cfg.patch_size, 3, d)
-                                     ).astype(np.float32),
-                "bias": np.zeros((d,), np.float32),
-            },
-            "pos_embed": np.zeros((1, vit_cfg.grid, vit_cfg.grid, d), np.float32),
-            "blocks": blocks,
-            "neck0": {"kernel": rng.normal(0, d**-0.5, (1, 1, d, oc)).astype(np.float32)},
-            "neck1": ln(oc),
-            "neck2": {"kernel": rng.normal(0, (oc * 9) ** -0.5, (3, 3, oc, oc)).astype(np.float32)},
-            "neck3": ln(oc),
-        },
-        "pixel_decoder": pd,
+        "vit": init_vit_params(rng, vit_cfg),
+        "pixel_decoder": init_pixel_decoder_params(
+            rng, vit_cfg.out_chans, upscale_stages, 1 + nbits),
     }
