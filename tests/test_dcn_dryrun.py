@@ -36,3 +36,14 @@ def test_import_does_not_bind_backend():
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=120)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_two_process_tp_decode_equivalence():
+    """Cross-process TENSOR parallelism (reference transformer.py:159,220):
+    the TP axis spans two real processes, the decode step runs on the
+    packed-cache shard_map kernel path, and logits match the unsharded
+    replicated reference on every rank."""
+    from wmar_tpu.parallel.dcn_dryrun import run_dcn_tp_dryrun
+
+    err = run_dcn_tp_dryrun(n_procs=2, local_devices=2, port=23921)
+    assert err < 5e-2
