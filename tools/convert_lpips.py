@@ -23,6 +23,43 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 _VGG_TORCH_IDX = [(0, 2), (5, 7), (10, 12, 14), (17, 19, 21), (24, 26, 28)]
 
 
+def convert_lpips_arrays(vgg_sd: dict, lins) -> dict:
+    """VGG16 Sequential conv state dict + optional lin-head kernels -> flax
+    LPIPS params. Sorts by the NUMERIC Sequential index — alphabetical
+    ordering scrambles blocks at the real geometry ("features.10" <
+    "features.2")."""
+    import re as _re
+
+    def _seq_idx(key):
+        return int(_re.search(r"(\d+)", key).group(1))
+
+    params = {"vgg": {}}
+    flat = sorted(
+        ((k, v) for k, v in vgg_sd.items() if k.endswith("weight") and np.ndim(v) == 4),
+        key=lambda kv: _seq_idx(kv[0]),
+    )
+    biases = sorted(
+        ((k, v) for k, v in vgg_sd.items() if k.endswith("bias")),
+        key=lambda kv: _seq_idx(kv[0]),
+    )
+    ci = 0
+    for bi, idxs in enumerate(_VGG_TORCH_IDX):
+        for j in range(len(idxs)):
+            w = np.asarray(flat[ci][1])
+            b = np.asarray(biases[ci][1])
+            params["vgg"][f"conv{bi}_{j}"] = {
+                "kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
+                "bias": b,
+            }
+            ci += 1
+    if lins is not None:
+        for i, w in enumerate(lins):
+            params[f"lin{i}"] = {
+                "kernel": np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+            }
+    return params
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
@@ -55,36 +92,7 @@ def main(argv=None):
             lin_sd = load_torch_state_dict(args.lpips_ckpt)
             lins = [np.asarray(lin_sd[f"lin{i}.model.1.weight"]) for i in range(5)]
 
-    # Map sequential conv weights onto the flax LPIPS module names. Sort by
-    # the NUMERIC Sequential index — alphabetical ordering scrambles blocks
-    # at the real geometry ("features.10" < "features.2").
-    import re as _re
-
-    def _seq_idx(key):
-        return int(_re.search(r"(\d+)", key).group(1))
-
-    params = {"vgg": {}}
-    flat = sorted(
-        ((k, v) for k, v in vgg_sd.items() if k.endswith("weight") and v.ndim == 4),
-        key=lambda kv: _seq_idx(kv[0]),
-    )
-    biases = sorted(
-        ((k, v) for k, v in vgg_sd.items() if k.endswith("bias")),
-        key=lambda kv: _seq_idx(kv[0]),
-    )
-    ci = 0
-    for bi, idxs in enumerate(_VGG_TORCH_IDX):
-        for j in range(len(idxs)):
-            w = flat[ci][1]
-            b = biases[ci][1]
-            params["vgg"][f"conv{bi}_{j}"] = {
-                "kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
-                "bias": b,
-            }
-            ci += 1
-    if lins is not None:
-        for i, w in enumerate(lins):
-            params[f"lin{i}"] = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))}
+    params = convert_lpips_arrays(vgg_sd, lins)
 
     from wmar_tpu.utils.checkpoint import save_pytree
 
