@@ -1,0 +1,351 @@
+#!/usr/bin/env python
+"""Tiny-scale end-to-end reproduction of the paper's RCC mechanism.
+
+The reference's central claim (BASELINE.md, from the committed
+``notebooks/analyze.ipynb`` outputs and ``logs/0620_taming_ft_stdout.txt``)
+is that RCC finetuning the tokenizer lifts decode->encode token match from
+0.659 to 0.956 and with augmented training makes watermark detection
+survive valuemetric/geometric attacks. The published checkpoints cannot be
+fetched here (zero egress), so this tool reproduces the MECHANISM fully
+in-environment at toy scale:
+
+1. **Pretrain** a tiny Taming-style tokenizer (decoder + encoder trained
+   jointly for code idempotence) and STOP at clean token match ~0.65 — the
+   stand-in for the published VQGAN, matching the reference's base
+   roundtrip level (0.659).
+2. **Generate** watermarked + unwatermarked codes with a tiny GPT through
+   the real sampling stack (``linear-stratifiedrand-h=1-d=2.0-g=0.25``,
+   the reference's taming watermark config).
+3. **RCC-finetune** two ways from the pretrained tokenizer with the real
+   training stack (drift anchor to the original decoder + perceptual +
+   masked idempotence, ``finetune/rcc.py``): ``FT`` (no augmentations) and
+   ``FT+Augs`` (the weak->medium->strong curriculum).
+4. **Evaluate** Base vs FT vs FT+Augs over an attack grid
+   (decode -> attack -> re-encode -> token match + detection p-value),
+   and print an analyzer-formatted table (TPR@1%FPR via the exact-p-value
+   thresholding the reference analyzer uses, ``analyzer.py:378``).
+
+Done criterion (locked as a slow regression in tests/test_repro_tiny.py):
+token match improves Base -> FT on the clean cell (the 0.659 -> 0.956
+direction) and Base -> FT+Augs under every trained augmentation, with
+detection TPR improving wherever Base detection is broken.
+
+  python tools/repro_tiny.py --out /tmp/repro       # full tiny run
+  python tools/repro_tiny.py --fast --out /tmp/r    # reduced budget
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+# ---------------------------------------------------------------------------
+# Tiny models
+# ---------------------------------------------------------------------------
+
+
+def build_tiny_tokenizer(seed: int = 0):
+    """Tiny taming VQGAN: 32px, 16x16 latents, 64-entry codebook.
+
+    The default taming codebook init (uniform +-1/n_e) is far below the
+    idem-MSE floor reachable at this scale, so nearest-neighbor would never
+    flip; the repro uses a spread codebook (N(0, 0.5)) instead — the
+    published codebooks are likewise O(1)-scaled after training.
+    """
+    from wmar_tpu.models import TamingVQGAN, VQGANConfig
+
+    vq_cfg = VQGANConfig(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=(), z_channels=32, n_embed=64,
+                         embed_dim=16)
+    vq = TamingVQGAN(vq_cfg)
+    vq_params = vq.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3)))
+    p = dict(vq_params["params"])
+    q = dict(p["quantize"])
+    q["embedding"] = jax.random.normal(
+        jax.random.PRNGKey(seed + 42), q["embedding"].shape) * 0.5
+    p["quantize"] = q
+    return vq, vq_cfg, {"params": p}
+
+
+def build_tiny_gpt(vq_cfg, seed: int = 1):
+    from wmar_tpu.models import GPTConfig, init_gpt_params
+
+    gpt_cfg = GPTConfig(vocab_size=vq_cfg.n_embed, block_size=300,
+                        n_layer=2, n_head=2, n_embd=32)
+    return gpt_cfg, init_gpt_params(jax.random.PRNGKey(seed), gpt_cfg)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: pretrain to the reference's base roundtrip level
+# ---------------------------------------------------------------------------
+
+
+def pretrain_tokenizer(adapter, vocab: int, rng: jax.Array,
+                       target_match: float = 0.65, max_steps: int = 1500,
+                       batch: int = 8, lr: float = 1e-3,
+                       log=print) -> Tuple[dict, float]:
+    """Train {decoder, watermark_encoder} jointly for idempotence until the
+    clean roundtrip token match reaches ``target_match`` (the reference's
+    base tokenizer sits at 0.659, BASELINE.md)."""
+    from wmar_tpu.finetune.rcc import validation_l0
+
+    def pre_loss(trainable, codes):
+        z_q = adapter.lookup(codes)
+        xrec = adapter.decode(trainable["decoder"], z_q)
+        zrec = adapter.encode_latent(trainable["watermark_encoder"], xrec)
+        idem = ((z_q - zrec) ** 2).mean()
+        # keep decoded pixels inside the tokenizer's [-1, 1] range
+        range_pen = jnp.maximum(jnp.abs(xrec) - 1.0, 0.0).mean()
+        return idem + 10.0 * range_pen
+
+    opt = optax.adam(lr)
+    trainable = adapter.init_trainable()
+    opt_state = opt.init(trainable)
+
+    @jax.jit
+    def step(trainable, opt_state, codes):
+        l, g = jax.value_and_grad(pre_loss)(trainable, codes)
+        up, opt_state = opt.update(g, opt_state, trainable)
+        return optax.apply_updates(trainable, up), opt_state, l
+
+    s = adapter.latent_side
+    val = jax.random.randint(jax.random.PRNGKey(1234), (16, s * s), 0, vocab)
+    t0 = time.time()
+    match = 0.0
+    for i in range(1, max_steps + 1):
+        rng, k = jax.random.split(rng)
+        codes = jax.random.randint(k, (batch, s * s), 0, vocab)
+        trainable, opt_state, l = step(trainable, opt_state, codes)
+        if i % 25 == 0:
+            match = float(1.0 - np.mean(np.asarray(
+                validation_l0(adapter, trainable, val))))
+            if i % 100 == 0 or match >= target_match:
+                log(f"pretrain {i}: loss={float(l):.4f} clean_match={match:.3f} "
+                    f"({time.time() - t0:.0f}s)")
+            if match >= target_match:
+                break
+    return trainable, match
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: RCC finetuning (the real stack)
+# ---------------------------------------------------------------------------
+
+
+def rcc_finetune(adapter, schedule: List[Tuple[str, int]], vocab: int,
+                 rng: jax.Array, lr: float = 3e-4, batch: int = 8, log=print):
+    from wmar_tpu.finetune.rcc import (
+        RCCConfig, init_state, make_optimizer, make_train_step,
+    )
+
+    cfg = RCCConfig(lr=lr, idem_weight=1.0)
+    opt = make_optimizer(cfg)
+    state = init_state(adapter, opt)
+    s = adapter.latent_side
+    t0 = time.time()
+    for level, steps in schedule:
+        step_fn = jax.jit(make_train_step(adapter, cfg, level, opt))
+        m = {}
+        for _ in range(steps):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            codes = jax.random.randint(k1, (batch, s * s), 0, vocab)
+            state, m = step_fn(state, codes, k2)
+        log(f"rcc[{level}] x{steps}: idem={float(m.get('idem', np.nan)):.4f} "
+            f"({time.time() - t0:.0f}s)")
+    return state.trainable
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: evaluation
+# ---------------------------------------------------------------------------
+
+
+def eval_augs() -> Dict[str, Optional[Callable]]:
+    """Attack grid: the reference's eval families at strengths the
+    curriculum trains (plus resize-back crop, which misaligns the token
+    grid — the cell the paper needs sync for, reported not asserted)."""
+    import wmar_tpu.augmentations.geometric as G
+    import wmar_tpu.augmentations.valuemetric as V
+
+    return {
+        "none": None,
+        "gaussian-noise_0.1": lambda x, k: V.gaussian_noise(x, 0.1, k),
+        "jpeg_50": lambda x, k: V.jpeg_diff(x, 50),
+        "rotation_3": lambda x, k: G.rotate(x, 3.0),
+        "crop-pad_0.6": lambda x, k: G.upper_left_crop_pad_back(x, 0.6),
+        "crop-resize_0.6": lambda x, k: G.upper_left_crop_resize_back(x, 0.6),
+    }
+
+
+def evaluate_method(adapter, trainable, codes_wm, codes_null, spec, greenlist,
+                    rng: jax.Array, alpha: float = 0.01) -> Dict[str, dict]:
+    """decode -> attack -> re-encode -> {token_match, TPR@alpha, null FPR}."""
+    from wmar_tpu.core.detect import detect
+
+    def roundtrip(codes, aug_fn, key):
+        z_q = adapter.lookup(codes)
+        xrec = adapter.decode(trainable["decoder"], z_q)
+        x01 = xrec / 2.0 + 0.5
+        if aug_fn is not None:
+            x01 = jnp.clip(aug_fn(x01, key), 0.0, 1.0)
+        zrec = adapter.encode_latent(trainable["watermark_encoder"], x01 * 2.0 - 1.0)
+        return adapter.nearest_codes(zrec)
+
+    import zlib
+
+    rt = jax.jit(roundtrip, static_argnums=(1,))
+    out = {}
+    for name, fn in eval_augs().items():
+        # crc32, not builtin hash(): str hashing is PYTHONHASHSEED-salted
+        # per process, which would make the attack RNG irreproducible
+        key = jax.random.fold_in(rng, zlib.crc32(name.encode()) % (2 ** 31))
+        new_wm = rt(codes_wm, fn, key)
+        new_null = rt(codes_null, fn, key)
+        match = float((np.asarray(new_wm) == np.asarray(codes_wm)).mean())
+        pv = np.asarray(detect(spec, greenlist, new_wm))
+        pv_null = np.asarray(detect(spec, greenlist, new_null))
+        out[name] = {
+            "token_match": round(match, 4),
+            "tpr": round(float((pv < alpha).mean()), 4),
+            "fpr_null": round(float((pv_null < alpha).mean()), 4),
+            "median_log10p": round(float(np.median(np.log10(np.maximum(pv, 1e-300)))), 2),
+        }
+    return out
+
+
+def format_table(results: Dict[str, Dict[str, dict]]) -> str:
+    """Analyzer-style markdown: methods x attack cells."""
+    methods = list(results)
+    cells = list(next(iter(results.values())))
+    lines = ["| metric | attack | " + " | ".join(methods) + " |",
+             "|---|---|" + "---|" * len(methods)]
+    for metric in ("token_match", "tpr"):
+        for cell in cells:
+            row = [f"{results[m][cell][metric]:.3f}" for m in methods]
+            lines.append(f"| {metric} | {cell} | " + " | ".join(row) + " |")
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ReproBudget:
+    pretrain_target: float = 0.65
+    pretrain_max_steps: int = 1500
+    ft_steps: int = 600
+    ft_aug_schedule: Tuple[Tuple[str, int], ...] = (
+        ("weak", 200), ("medium", 400), ("strong", 500))
+    n_eval: int = 32
+    batch: int = 8
+
+
+FAST_BUDGET = ReproBudget(pretrain_max_steps=800, ft_steps=300,
+                          ft_aug_schedule=(("weak", 100), ("medium", 250),
+                                           ("strong", 300)),
+                          n_eval=16)
+
+
+def run(budget: ReproBudget, seed: int = 0, out: Optional[str] = None,
+        log=print) -> Dict[str, Dict[str, dict]]:
+    from wmar_tpu.core.spec import WatermarkSpec
+    from wmar_tpu.finetune.rcc import TamingRCCAdapter
+    from wmar_tpu.models import TamingARMM
+
+    rng = jax.random.PRNGKey(seed)
+    vq, vq_cfg, vq_params = build_tiny_tokenizer(seed)
+    gpt_cfg, gpt_params = build_tiny_gpt(vq_cfg, seed + 1)
+
+    # --- stage 1: pretrain to the base roundtrip level
+    adapter0 = TamingRCCAdapter(vq, vq_params)
+    rng, k = jax.random.split(rng)
+    base_trainable, base_match = pretrain_tokenizer(
+        adapter0, vq_cfg.n_embed, k, target_match=budget.pretrain_target,
+        max_steps=budget.pretrain_max_steps, batch=budget.batch, log=log)
+    log(f"base tokenizer: clean token match {base_match:.3f} "
+        f"(reference base: 0.659)")
+
+    # freeze as the 'published' tokenizer T0
+    p = dict(vq_params["params"])
+    p["decoder"] = base_trainable["decoder"]
+    p["encoder"] = base_trainable["watermark_encoder"]
+    T0 = {"params": p}
+    adapter = TamingRCCAdapter(vq, T0)
+
+    # --- stage 2: watermarked generation through the real sampling stack
+    wrapper = TamingARMM(gpt_params, gpt_cfg, T0, vq_cfg)
+    spec = WatermarkSpec.from_string(
+        "linear-stratifiedrand-h=1-d=2.0-g=0.25",
+        vocab_size=vq_cfg.n_embed, spatial_dim=vq_cfg.codes_per_side)
+    wrapper.set_watermarker(spec)
+    from wmar_tpu.models import GenParams
+
+    gp = GenParams(temperature=1.0)
+    conds = [i % 10 for i in range(budget.n_eval)]
+    rng, k1, k2 = jax.random.split(rng, 3)
+    codes_wm = wrapper.sample(conds, gp, apply_watermark=True, rng=k1)
+    codes_null = wrapper.sample(conds, gp, apply_watermark=False, rng=k2)
+    log(f"sampled {codes_wm.shape[0]} watermarked + null code grids")
+
+    # --- stage 3: RCC finetunes
+    rng, k1, k2 = jax.random.split(rng, 3)
+    log("FT (no augmentations):")
+    ft = rcc_finetune(adapter, [("warmup", budget.ft_steps)],
+                      vq_cfg.n_embed, k1, batch=budget.batch, log=log)
+    log("FT+Augs (curriculum):")
+    ft_aug = rcc_finetune(adapter, list(budget.ft_aug_schedule),
+                          vq_cfg.n_embed, k2, batch=budget.batch, log=log)
+
+    # --- stage 4: evaluate
+    base_params = {"decoder": p["decoder"], "watermark_encoder": p["encoder"]}
+    rng, k = jax.random.split(rng)
+    results = {}
+    for name, trainable in (("base", base_params), ("ft", ft),
+                            ("ft_aug", ft_aug)):
+        results[name] = evaluate_method(
+            adapter, trainable, codes_wm, codes_null,
+            wrapper.watermark_spec, wrapper.greenlist, k)
+        log(f"{name}: " + json.dumps(results[name]))
+
+    table = format_table(results)
+    log("\nBase-vs-FT table (direction of BASELINE.md 0.659 -> 0.956):\n" + table)
+    if out:
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "repro_tiny.json"), "w") as f:
+            json.dump({"base_clean_match": base_match, "results": results}, f,
+                      indent=1)
+        with open(os.path.join(out, "repro_tiny.md"), "w") as f:
+            f.write(table + "\n")
+        log(f"wrote {out}/repro_tiny.{{json,md}}")
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fast", action="store_true", help="reduced budget")
+    args = ap.parse_args(argv)
+    budget = FAST_BUDGET if args.fast else ReproBudget()
+    return run(budget, seed=args.seed, out=args.out)
+
+
+if __name__ == "__main__":
+    main()
