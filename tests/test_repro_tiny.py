@@ -86,3 +86,24 @@ def test_crop_resize_stays_broken_without_sync(results):
     cell = "crop-resize_0.6"
     for method in ("base", "ft", "ft_aug"):
         assert results[method][cell]["tpr"] <= 0.2
+
+
+def test_audio_twin_mimi_ft_improves_token_match():
+    """The Mimi twin (VERDICT r4 #1 second assert): RCC finetuning with the
+    real audio train step lifts validation_token_match over the pretrained
+    base, clean and under a validation augmentation.
+
+    Measured at this budget/seed: base [0.48, 0.34] -> ft [0.55, 0.48]
+    clean; noise [0.48, 0.39] -> [0.53, 0.48]."""
+    import numpy as np
+
+    from repro_tiny import run_audio
+
+    r = run_audio(pretrain_steps=600, ft_steps=600, seed=0,
+                  log=lambda *a, **k: None)
+    base = np.mean(r["base"]["none"])
+    ft = np.mean(r["ft"]["none"])
+    assert 0.25 <= base <= 0.65, r  # pretrained to a mid base level
+    assert ft >= base + 0.03, r
+    assert (np.mean(r["ft"]["noise_0.01"])
+            >= np.mean(r["base"]["noise_0.01"]) + 0.02), r

@@ -42,7 +42,10 @@ def multi_res_stft_loss(a: jnp.ndarray, b: jnp.ndarray, fft_sizes=(256, 512, 102
             continue
         fx = _stft_mag(x, n_fft, hop)
         fy = _stft_mag(y, n_fft, hop)
-        sc = jnp.linalg.norm(fy - fx) / (jnp.linalg.norm(fy) + 1e-7)
+        # eps INSIDE the sqrt: d/dx ||x|| is NaN at x = 0, and the very
+        # first finetune step compares bit-identical audio (trainable is a
+        # copy of the frozen weights), which poisoned the whole run
+        sc = jnp.sqrt(((fy - fx) ** 2).sum() + 1e-12) / (jnp.linalg.norm(fy) + 1e-7)
         lm = jnp.abs(jnp.log(fx + 1e-5) - jnp.log(fy + 1e-5)).mean()
         total = total + sc + lm
     return total / len(fft_sizes)
