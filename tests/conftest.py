@@ -27,9 +27,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: repeat suite runs skip most XLA compiles.
+# Keyed by the host CPU fingerprint: XLA:CPU cache entries are AOT machine
+# code whose key ignores the compile host's features, and a cache carried
+# across hosts produced *different float numerics* (golden-e2e token flips
+# + cpu_aot_loader feature-mismatch spam). See utils.host_machine_tag.
 try:
-    os.makedirs("/root/repo/.jax_cache_tests", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tests")
+    import sys as _sys
+
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if _repo not in _sys.path:
+        _sys.path.insert(0, _repo)
+    from wmar_tpu.utils import host_machine_tag
+
+    _cache = os.path.join(_repo, ".jax_cache_tests", host_machine_tag())
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass

@@ -1,14 +1,41 @@
 """Shared utilities: metrics, checkpoint IO, weight deltas, conversion."""
 
 
+def host_machine_tag() -> str:
+    """Short fingerprint of this host's CPU feature set.
+
+    XLA:CPU persistent-cache entries are AOT machine code whose cache key
+    does NOT include the compile host's CPU features; loading an entry
+    compiled on a different machine logs a ``cpu_aot_loader`` feature
+    mismatch and can produce *different float results* (observed: golden
+    e2e token flips from a cache carried across hosts). Keying the cache
+    directory by this tag makes cross-host reuse impossible."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line.strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1((platform.machine() + flags).encode()).hexdigest()[:10]
+
+
 def enable_compile_cache():
     """Persistent XLA compile cache (remote-compile TPU backends take
-    minutes on the first big program; cache hits bring reruns to seconds)."""
+    minutes on the first big program; cache hits bring reruns to seconds).
+    The directory is keyed by the host CPU fingerprint — see
+    :func:`host_machine_tag` for why."""
     import os
 
     import jax
 
-    path = os.environ.get("WMAR_TPU_JAX_CACHE", "/root/repo/.jax_cache")
+    base = os.environ.get("WMAR_TPU_JAX_CACHE", "/root/repo/.jax_cache")
+    path = os.path.join(base, host_machine_tag())
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
