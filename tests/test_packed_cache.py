@@ -287,6 +287,62 @@ def test_packed_chunked_start_mask_parity():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=2e-2, rtol=0)
 
 
+def test_packed4_chunked_start_mask_parity():
+    """packed4 twin of the q8 chunked mask test: start + key_mask through
+    the int4 chunked kernel must match the XLA dequant path. This is the
+    Chameleon serving route (every decode step passes ragged starts), so
+    masked packed4 MUST run in-kernel — the XLA fallback materializes bf16
+    K/V per layer step, which faults the tunneled device at 7B shapes."""
+    from wmar_tpu.engine.kvcache import Packed4QuantKVCache
+    from wmar_tpu.ops.flash_decode import packed4_decode_attention
+
+    rng = np.random.default_rng(33)
+    cache = Packed4QuantKVCache.zeros(1, B, H, TL, D)
+    for pos in range(12):
+        cache = cache.write(
+            0, pos,
+            jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32))
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    start = jnp.asarray([0, 2, 5, 1], jnp.int32)
+    km = jnp.asarray(rng.integers(0, 2, (B, TL)).astype(bool))
+    km = km.at[:, :12].set(True).at[:, 3].set(False)
+    want = decode_attention(q, *cache.layer(0), valid_len=12, start=start, key_mask=km)
+    got = packed4_decode_attention(
+        q, cache.kv, cache.scale, 0, 12, start=start, key_mask=km,
+        chunk_t=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=0)
+    # start-only (the Chameleon step_fn signature) and the dispatcher route
+    got2 = packed4_decode_attention(
+        q, cache.kv, cache.scale, 0, 12, start=start, chunk_t=128, interpret=True)
+    want2 = decode_attention(q, *cache.layer(0), valid_len=12, start=start)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-2, rtol=0)
+    got3 = cached_decode_attention(q, cache, 0, 12, start=start, key_mask=km)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want), atol=2e-2, rtol=0)
+
+
+def test_llama_decode_with_packed4_long_cache():
+    """llama_forward with a packed4 long cache (the masked chunked kernel
+    route) tracks the float cache's logits to int4-noise tolerance."""
+    from wmar_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
+
+    cfg = LlamaConfig(dim=32, n_layers=2, n_heads=4, vocab_size=64,
+                      multiple_of=32, qk_normalization=True)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(np.random.default_rng(34).integers(0, 64, (2, 6)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(6)[None], (2, 6))
+    start = jnp.zeros((2,), jnp.int32)
+    outs = {}
+    for cd in (jnp.float32, "packed4"):
+        cache = KVCache.zeros(cfg.n_layers, 2, cfg.n_heads, TL, cfg.head_dim, cd)
+        _, cache = llama_forward(params, cfg, tokens, cache, 0, positions, start=start)
+        nxt = jnp.zeros((2, 1), jnp.int32)
+        logits, _ = llama_forward(params, cfg, nxt, cache, 6,
+                                  jnp.full((2, 1), 6, jnp.int32), start=start)
+        outs[cd] = np.asarray(logits[:, 0])
+    np.testing.assert_allclose(outs[jnp.float32], outs["packed4"], atol=0.35, rtol=0)
+
+
 def test_llama_decode_with_packed_cache():
     """llama_forward with a packed long cache routes through the packed
     chunked kernel and matches the QuantKVCache XLA path."""

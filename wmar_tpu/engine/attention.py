@@ -29,18 +29,18 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
     from wmar_tpu.engine.kvcache import Packed4QuantKVCache, PackedQuantKVCache
 
     interpret = jax.default_backend() != "tpu"
-    # start/key_mask are only supported by the q8 CHUNKED kernel path, which
-    # the wrapper activates at long contexts (T >= 1024)
+    # start/key_mask are only supported by the CHUNKED kernel paths (q8 and
+    # packed4), which the wrappers activate at long contexts (T >= 1024)
     masked = start is not None or key_mask is not None
     masks_ok = (not masked) or (
-        isinstance(cache, PackedQuantKVCache) and cache.max_len >= 1024
+        isinstance(cache, (PackedQuantKVCache, Packed4QuantKVCache))
+        and cache.max_len >= 1024
     )
     if (
         isinstance(cache, (PackedQuantKVCache, Packed4QuantKVCache))
         and q.shape[2] == 1
         and q.shape[1] == cache.n_heads  # no GQA head-repeat inside the kernel
         and masks_ok
-        and not (masked and isinstance(cache, Packed4QuantKVCache))
     ):
         mesh = cache.mesh
         if mesh is not None and (cache.dp_axis or cache.tp_axis):
@@ -65,7 +65,7 @@ def cached_decode_attention(q, cache, layer: int, valid_len, start=None, key_mas
             if isinstance(cache, Packed4QuantKVCache):
                 return packed4_decode_attention(
                     q, cache.kv, cache.scale, layer, valid_len,
-                    interpret=interpret)
+                    start=start, key_mask=key_mask, interpret=interpret)
             return packed_decode_attention_q8(
                 q, cache.kv, cache.scale, layer, valid_len,
                 start=start, key_mask=key_mask, interpret=interpret)

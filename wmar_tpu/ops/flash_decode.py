@@ -350,8 +350,20 @@ def _packed_attn_kernel_q8_chunked_km(len_ref, start_ref, q_ref, kv_ref, s_ref,
                   acc_ref, m_ref, l_ref)
 
 
+def _packed4_attn_kernel_chunked(len_ref, start_ref, q_ref, kv_ref, s_ref,
+                                 o_ref, acc_ref, m_ref, l_ref):
+    _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, None, o_ref,
+                  acc_ref, m_ref, l_ref, is4=True)
+
+
+def _packed4_attn_kernel_chunked_km(len_ref, start_ref, q_ref, kv_ref, s_ref,
+                                    km_ref, o_ref, acc_ref, m_ref, l_ref):
+    _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, km_ref, o_ref,
+                  acc_ref, m_ref, l_ref, is4=True)
+
+
 def _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, km_ref, o_ref,
-                  acc_ref, m_ref, l_ref):
+                  acc_ref, m_ref, l_ref, is4: bool = False):
     """Chunked variant of :func:`_packed_attn_kernel_q8`: grid
     ``(B // RB, NC)`` with the T axis split into ``NC`` chunks and an online
     softmax carried in scratch across the chunk dimension.
@@ -374,9 +386,15 @@ def _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, km_ref, o_ref,
     prompts); ``km_ref [RB, TC]`` optional per-(row, slot) validity as an
     additive 0/1 float mask (the fused-interleaved Chameleon CFG rows) —
     both make this kernel feature-complete for the llama decode path.
+
+    ``is4`` selects the int4 payload layout (``Packed4QuantKVCache``): the
+    kv block is ``[1, RB, TC, H*D]`` uint8 with K in the low nibble and V
+    in the high nibble of the same byte (half the DMA bytes of the int8
+    layout's ``[1, RB, TC, 2*H*D]``); the unpack widens to int32 FIRST —
+    uint8 bit ops / uint8->bf16 casts trip the remote Mosaic toolchain.
     """
-    _, rb, tc, hd2 = kv_ref.shape
-    hd = hd2 // 2
+    _, rb, tc, hdk = kv_ref.shape
+    hd = hdk if is4 else hdk // 2
     h = s_ref.shape[2] // 2
     d = hd // h
     scale = jnp.float32(d**-0.5)
@@ -401,11 +419,18 @@ def _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, km_ref, o_ref,
     @pl.when(c < n_valid)
     def _chunk():
         for r in range(rb):
+            if is4:
+                ui = kv_ref[0, r].astype(jnp.int32)  # [TC, HD]
+                k_chunk = ((ui & 0xF) - 8).astype(jnp.bfloat16)
+                v_chunk = ((ui >> 4) - 8).astype(jnp.bfloat16)
+            else:
+                k_chunk = kv_ref[0, r, :, :hd].astype(jnp.bfloat16)
+                v_chunk = kv_ref[0, r, :, hd:].astype(jnp.bfloat16)
             valid = (pos < len_ref[0]) & (pos >= start_ref[i * rb + r])
             qrow = q_ref[r].astype(jnp.float32)  # [1, HD]
             qbd = (head_mask * qrow).astype(jnp.bfloat16)  # [H, HD]
             s_raw = jax.lax.dot_general(
-                qbd, kv_ref[0, r, :, :hd].astype(jnp.bfloat16),
+                qbd, k_chunk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [H, TC]
@@ -420,7 +445,7 @@ def _chunked_body(len_ref, start_ref, q_ref, kv_ref, s_ref, km_ref, o_ref,
             p = jnp.exp(sc - m_new)  # [H, TC]
             pv = p * s_ref[0, r, h:].astype(jnp.float32)
             upd = jax.lax.dot_general(
-                pv.astype(jnp.bfloat16), kv_ref[0, r, :, hd:].astype(jnp.bfloat16),
+                pv.astype(jnp.bfloat16), v_chunk,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [H, HD]
@@ -637,7 +662,8 @@ def sharded_packed_decode_attention(
         km = rest[-1] if has_km else None
         if is4:
             return packed4_decode_attention(
-                q_l, kv_l, s_l, layer, vl_l[0], interpret=interpret)
+                q_l, kv_l, s_l, layer, vl_l[0], start=st, key_mask=km,
+                interpret=interpret)
         return packed_decode_attention_q8(
             q_l, kv_l, s_l, layer, vl_l[0], start=st, key_mask=km,
             interpret=interpret)
@@ -696,13 +722,23 @@ def packed4_decode_attention(
     scale_all: jnp.ndarray,
     layer,
     valid_len,
+    start=None,
+    key_mask=None,
     rows_per_block: int = 0,
+    chunk_t=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused decode attention over a ``Packed4QuantKVCache``.
 
     ``q [B, H, 1, D]``; ``kv_all [L, B, T, H*D]`` uint8 (K low / V high
     nibbles); ``scale_all [L, B, 2H, T]``. Returns ``[B, H, 1, D]``.
+
+    Long contexts (``T >= 1024``, same shape-aware default as the int8
+    wrapper) take the chunked online-softmax path, which also carries
+    ``start`` (ragged right-aligned prompts) and ``key_mask`` (per-row slot
+    validity, e.g. Chameleon CFG rows) — the serving feature set the XLA
+    fallback otherwise provides by materializing ~2x bf16 K/V per layer
+    step, prohibitive at 7B decode shapes.
     """
     b, h, tq, d = q.shape
     assert tq == 1, "packed kernel is single-token decode only"
@@ -711,12 +747,73 @@ def packed4_decode_attention(
     layer = int(layer)
     import os as _os
 
+    if chunk_t is None:
+        env = _os.environ.get("WMAR_PACKED_CHUNK")
+        chunk_t = int(env) if env is not None else (128 if t >= 1024 else 0)
+    if chunk_t and not interpret:
+        chunk_t = -(-chunk_t // 128) * 128
     rb = rows_per_block or int(_os.environ.get("WMAR_PACKED_RB", "0"))
     rb = rb or next(r for r in (4, 2, 1) if b % r == 0)
     lens = jnp.full((1,), valid_len, jnp.int32)
     qp = q.reshape(b, 1, hd)
-    kwargs = {} if interpret else {"compiler_params": pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 1024 * 1024)}
+    if (start is not None or key_mask is not None) and not (chunk_t and chunk_t < t):
+        raise ValueError(
+            "start/key_mask support requires the chunked path (chunk_t < T); "
+            "the dispatcher only routes masked calls at long contexts")
+
+    def _params(ndims):
+        if interpret:
+            return {}
+        return {"compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * ndims,
+            vmem_limit_bytes=100 * 1024 * 1024)}
+
+    if chunk_t and chunk_t < t:
+        tc = chunk_t
+        nc = -(-t // tc)
+        starts = (jnp.zeros((b,), jnp.int32) if start is None
+                  else jnp.asarray(start, jnp.int32))
+
+        def kv_map(i, c, lens, *_):
+            return (layer, i, jnp.minimum(c, pl.cdiv(lens[0], tc) - 1), 0)
+
+        def sc_map(i, c, lens, *_):
+            return (layer, i, 0, jnp.minimum(c, pl.cdiv(lens[0], tc) - 1))
+
+        def km_map(i, c, lens, *_):
+            return (i, 0, jnp.minimum(c, pl.cdiv(lens[0], tc) - 1))
+
+        in_specs = [
+            pl.BlockSpec((rb, 1, hd), lambda i, c, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rb, tc, hd), kv_map),
+            pl.BlockSpec((1, rb, 2 * h, tc), sc_map),
+        ]
+        args = [lens, starts, qp, kv_all, scale_all]
+        kernel = _packed4_attn_kernel_chunked
+        if key_mask is not None:
+            in_specs.append(pl.BlockSpec((rb, 1, tc), km_map))
+            args.append(jnp.asarray(key_mask, jnp.bfloat16)[:, None, :])
+            kernel = _packed4_attn_kernel_chunked_km
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,  # lens, starts
+                grid=(b // rb, nc),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((rb, 1, hd), lambda i, c, *_: (i, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((rb, h, hd), jnp.float32),
+                    pltpu.VMEM((rb, h, 128), jnp.float32),
+                    pltpu.VMEM((rb, h, 128), jnp.float32),
+                ],
+            ),
+            interpret=interpret,
+            **_params(2),
+        )(*args)
+        return out.reshape(b, h, 1, d)
+
     out = pl.pallas_call(
         _packed4_attn_kernel,
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
@@ -731,6 +828,6 @@ def packed4_decode_attention(
             out_specs=pl.BlockSpec((rb, 1, hd), lambda i, *_: (i, 0, 0)),
         ),
         interpret=interpret,
-        **kwargs,
+        **_params(1),
     )(lens, qp, kv_all, scale_all)
     return out.reshape(b, h, 1, d)
