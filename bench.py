@@ -268,7 +268,11 @@ def build_chameleon(tiny):
         codes = wrapper.sample(prompts[:batch], gen, apply_watermark=True, rng=rng)
         return wrapper.codes_to_images(codes)
 
-    return one_batch, "watermarked_chameleon7b_512px", 4
+    # batch 8 fits in one v5e's 16 GB with the packed4 default (the halved
+    # cache is what made room: batch 8 + packed-int8 OOMs by 3.45 GB) and
+    # nearly doubles throughput by amortizing the 7 GB weight read. With
+    # BENCH_CACHE=packed/int8/bf16 use BENCH_BATCH=4.
+    return one_batch, "watermarked_chameleon7b_512px", 8
 
 
 BUILDERS = {"rar": build_rar, "taming": build_taming, "chameleon": build_chameleon}
