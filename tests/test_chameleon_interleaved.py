@@ -331,3 +331,32 @@ def test_fused_interleaved_packed_cache():
         max_images=1, rng=jax.random.PRNGKey(0), cache_budget=1024,
     )
     assert any(k in ("image_seg", "text_seg") for k, _ in segs)
+
+
+def test_fused_interleaved_packed4_cache():
+    """packed4 twin: the int4 nibble cache's masked chunked kernel (round
+    5 — the single-v5e Chameleon-7B serving config at batch 8) drives the
+    fused interleaved scan end to end and still emits valid segments."""
+    from wmar_tpu.models.chameleon_interleaved import sample_interleaved_fused
+
+    params = init_llama_params(jax.random.PRNGKey(0), LCFG)
+    vq = TamingVQGAN(TINY_VQ)
+    vq_params = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+    w = ChameleonARMM(
+        params, LCFG, VOCAB, vq_params, TINY_VQ,
+        tokenizer=lambda s: [6 + (ord(c) % 20) for c in s[:4]],
+        image_seq_len=16, cache_dtype="packed4",
+    )
+    segs = sample_interleaved_fused(
+        w, "x", GenParams(temperature=1.0, top_p=0.95),
+        text_opts=TextGenOptions(max_gen_len=4, temp=1.0, top_p=0.95),
+        max_images=1, rng=jax.random.PRNGKey(0), cache_budget=1024,
+    )
+    text_tokens = set(VOCAB.text_tokens) | {VOCAB.eos_id, VOCAB.boi_id, VOCAB.eoi_id}
+    for k, toks in segs:
+        arr = np.asarray(toks).reshape(-1)
+        if k == "image_seg":
+            assert len(arr) == w.image_seq_len
+            assert all(int(t) in set(VOCAB.image_tokens) for t in arr)
+        else:
+            assert all(int(t) in text_tokens for t in arr)
