@@ -39,8 +39,8 @@ import numpy as np
 
 # Persistent compile cache: remote-compile TPU backends take minutes on the
 # first big program; cache hits bring reruns down to seconds.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from wmar_tpu.utils import tagged_cache_dir  # host-fingerprinted (cross-host AOT cache changes numerics)
+jax.config.update("jax_compilation_cache_dir", tagged_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_IMGS_PER_SEC = 5000.0 / 3600.0

@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 if not os.environ.get("WMAR_NO_JAX_CACHE"):
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from wmar_tpu.utils import tagged_cache_dir  # host-fingerprinted (cross-host AOT cache changes numerics)
+    jax.config.update("jax_compilation_cache_dir", tagged_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import wmar_tpu.models.llama as llama_mod

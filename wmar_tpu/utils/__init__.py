@@ -25,6 +25,20 @@ def host_machine_tag() -> str:
     return hashlib.sha1((platform.machine() + flags).encode()).hexdigest()[:10]
 
 
+def tagged_cache_dir(base: str = "/root/repo/.jax_cache") -> str:
+    """Create and return the host-fingerprinted compile-cache directory.
+
+    Every CLI/tool that sets ``jax_compilation_cache_dir`` must go through
+    this (or :func:`enable_compile_cache`) — a raw shared directory lets
+    XLA:CPU AOT entries cross hosts, which silently changes float numerics
+    (see :func:`host_machine_tag`)."""
+    import os
+
+    path = os.path.join(base, host_machine_tag())
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def enable_compile_cache():
     """Persistent XLA compile cache (remote-compile TPU backends take
     minutes on the first big program; cache hits bring reruns to seconds).
@@ -35,11 +49,10 @@ def enable_compile_cache():
     import jax
 
     base = os.environ.get("WMAR_TPU_JAX_CACHE", "/root/repo/.jax_cache")
-    path = os.path.join(base, host_machine_tag())
     try:
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if not os.environ.get("WMAR_NO_JAX_CACHE"):
+            jax.config.update("jax_compilation_cache_dir", tagged_cache_dir(base))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     # Some environments pin the backend via a plugin at interpreter start, so
