@@ -58,11 +58,14 @@ def test_spread_spectrum_embed_detect_roundtrip():
 
 
 def test_registry_stubs_and_guards():
-    for m in ("hidden", "mbrs", "cin", "trustmark", "videoseal"):
+    # hidden is a real port since round 5 (sync/hidden.py): without the
+    # reference's TorchScript weights it refuses random weights like wam
+    for m in ("mbrs", "cin", "trustmark", "videoseal"):
         with pytest.raises(NotImplementedError):
             build_baseline(m)
-    with pytest.raises(ValueError):
-        build_baseline("wam")  # random weights refused without allow_random
+    for m in ("hidden", "wam"):
+        with pytest.raises(ValueError):
+            build_baseline(m)  # random weights refused without allow_random
     with pytest.raises(ValueError):
         build_baseline("nope")
 

@@ -268,7 +268,7 @@ def test_wam_vae_embedder_vs_reference():
     # reference tiny patch uses GroupNorm(min(32, c)); for c<=32 that is
     # one channel per group == flax group_size=1
     orig = our_vqgan._norm
-    our_vqgan._norm = lambda: nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-6)
+    our_vqgan._norm = lambda groups=32: nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-6)  # noqa: ARG005 — tiny-channel patch ignores the groups arg
     try:
         enc_p = _convert_taming_encoder(sd, _TINY_ENC, "embedder.encoder.")
         dec_p = _convert_taming_decoder(sd, _TINY_DEC, "embedder.decoder.")
@@ -769,7 +769,7 @@ def test_wam_full_embed_detect_vs_reference():
     import wmar_tpu.models.vqgan as our_vqgan
 
     orig = our_vqgan._norm
-    our_vqgan._norm = lambda: nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-6)
+    our_vqgan._norm = lambda groups=32: nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-6)  # noqa: ARG005 — tiny-channel patch ignores the groups arg
     try:
         wam = wx.WamExact(params, vit_cfg=cfg, enc_cfg=_TINY_ENC, dec_cfg=_TINY_DEC)
         x01j = jnp.asarray(x01.numpy().transpose(0, 2, 3, 1))

@@ -120,6 +120,21 @@ def run_shape(tag, b, h, t, d):
                     qq, cp.kv, cp.scale, 0, n, rows_per_block=rb)), q)
         except Exception as e:  # noqa: BLE001
             print(f"  packed-rb{rb}  FAILED: {type(e).__name__}: {str(e)[:120]}")
+    from wmar_tpu.engine.kvcache import Packed4QuantKVCache
+    from wmar_tpu.ops.flash_decode import packed4_decode_attention
+
+    c4 = Packed4QuantKVCache.zeros(1, b, h, t, d)
+    c4 = c4.write(0, 0, kf.astype(jnp.float32), vf.astype(jnp.float32))
+    for rb in (8, 4, 2):
+        if b % rb:
+            continue
+        try:
+            bench(f"packed4-rb{rb}", loop(
+                lambda qq: packed4_decode_attention(
+                    qq, c4.kv, c4.scale, 0, n, rows_per_block=rb,
+                    chunk_t=0)), q)
+        except Exception as e:  # noqa: BLE001
+            print(f"  packed4-rb{rb}  FAILED: {type(e).__name__}: {str(e)[:120]}")
 
 
 def main():

@@ -144,8 +144,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--size", type=str, default="rar_xl")
     ap.add_argument("--steps", type=int, default=256)
-    ap.add_argument("--cache", type=str, default="int8",
-                    choices=["int8", "bf16", "f32", "packed"])
+    ap.add_argument("--cache", type=str, default="packed4",
+                    choices=["int8", "bf16", "f32", "packed", "packed4"])
     ap.add_argument("--w8", type=int, default=1)
     args = ap.parse_args()
 
@@ -158,7 +158,8 @@ def main():
     if args.w8:
         params = quantize_rar_params_int8(params, compute_dtype=jnp.bfloat16)
     cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16,
-                   "f32": jnp.float32, "packed": "packed"}[args.cache]
+                   "f32": jnp.float32, "packed": "packed",
+                   "packed4": "packed4"}[args.cache]
     print(f"platform={jax.devices()[0].platform} size={args.size} batch={args.batch} "
           f"cache={args.cache} w8={args.w8} steps={args.steps}", flush=True)
 
