@@ -88,6 +88,39 @@ def test_crop_resize_stays_broken_without_sync(results):
         assert results[method][cell]["tpr"] <= 0.2
 
 
+def test_rar_family_mechanism():
+    """The RAR/MaskGit twin (round 5): the SAME pipeline through the RAR
+    tokenizer family — tiny MaskGit-VQGAN + tiny RAR generator with
+    in-batch CFG (the reference's rar_generate.json watermark config) —
+    shows the same mechanism directions.
+
+    Measured at this budget/seed (2026-08, CPU):
+      clean match    base 0.665 -> ft 0.831
+      crop-pad 0.6   TPR 0.000 -> 1.000, match 0.075 -> 0.243 (ft_aug)
+      rotation 3     TPR 0.438 -> 0.875 (ft_aug)
+      crop-resize    stays 0.0 TPR for all methods (the sync-needed cell)
+    """
+    from repro_tiny import FAST_BUDGET, run
+
+    r = run(FAST_BUDGET, seed=0, out=None, family="rar",
+            log=lambda *a, **k: None)
+    base = r["base"]["none"]["token_match"]
+    ft = r["ft"]["none"]["token_match"]
+    assert 0.55 <= base <= 0.80, base
+    assert ft >= base + 0.08, (base, ft)
+    for method in ("base", "ft", "ft_aug"):
+        assert r[method]["none"]["tpr"] == 1.0
+        assert r[method]["crop-resize_0.6"]["tpr"] <= 0.2
+        for cells in r[method].values():
+            assert cells["fpr_null"] <= 0.15, r[method]
+    cell = "crop-pad_0.6"
+    assert r["base"][cell]["tpr"] <= 0.2
+    assert r["ft_aug"][cell]["tpr"] >= r["base"][cell]["tpr"] + 0.5
+    assert (r["ft_aug"][cell]["token_match"]
+            >= r["base"][cell]["token_match"] + 0.08)
+    assert r["ft_aug"]["rotation_3"]["tpr"] >= r["base"]["rotation_3"]["tpr"] + 0.15
+
+
 def test_audio_twin_mimi_ft_improves_token_match():
     """The Mimi twin (VERDICT r4 #1 second assert): RCC finetuning with the
     real audio train step lifts validation_token_match over the pretrained

@@ -32,6 +32,8 @@ detection TPR improving wherever Base detection is broken.
 
   python tools/repro_tiny.py --out /tmp/repro       # full tiny run
   python tools/repro_tiny.py --fast --out /tmp/r    # reduced budget
+  python tools/repro_tiny.py --family rar --out d   # RAR/MaskGit family
+  python tools/repro_tiny.py --audio --out d        # Mimi audio twin
 """
 
 from __future__ import annotations
@@ -88,6 +90,32 @@ def build_tiny_gpt(vq_cfg, seed: int = 1):
     gpt_cfg = GPTConfig(vocab_size=vq_cfg.n_embed, block_size=300,
                         n_layer=2, n_head=2, n_embd=32)
     return gpt_cfg, init_gpt_params(jax.random.PRNGKey(seed), gpt_cfg)
+
+
+def build_tiny_maskgit(seed: int = 0):
+    """Tiny MaskGit-VQGAN (RAR's tokenizer family): 32px, 16x16 latents,
+    64-entry codebook, spread like :func:`build_tiny_tokenizer`."""
+    from wmar_tpu.models import MaskGitVQConfig, MaskGitVQGAN
+
+    vq_cfg = MaskGitVQConfig(resolution=32, hidden_channels=32,
+                             channel_mult=(1, 2), num_res_blocks=1,
+                             z_channels=16, n_embed=64, embed_dim=16)
+    vq = MaskGitVQGAN(vq_cfg)
+    vq_params = vq.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3)))
+    p = dict(vq_params["params"])
+    p["embedding"] = jax.random.normal(
+        jax.random.PRNGKey(seed + 42), p["embedding"].shape) * 0.5
+    return vq, vq_cfg, {"params": p}
+
+
+def build_tiny_rar(vq_cfg, seed: int = 1):
+    from wmar_tpu.models import RARConfig, init_rar_params
+
+    rar_cfg = RARConfig(embed_dim=64, depth=2, num_heads=2,
+                        intermediate_size=128,
+                        image_seq_len=vq_cfg.codes_per_side ** 2,
+                        codebook_size=vq_cfg.n_embed, num_classes=10)
+    return rar_cfg, init_rar_params(jax.random.PRNGKey(seed), rar_cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -264,40 +292,59 @@ FAST_BUDGET = ReproBudget(pretrain_max_steps=800, ft_steps=300,
 
 
 def run(budget: ReproBudget, seed: int = 0, out: Optional[str] = None,
-        log=print) -> Dict[str, Dict[str, dict]]:
+        family: str = "taming", log=print) -> Dict[str, Dict[str, dict]]:
     from wmar_tpu.core.spec import WatermarkSpec
-    from wmar_tpu.finetune.rcc import TamingRCCAdapter
-    from wmar_tpu.models import TamingARMM
+    from wmar_tpu.finetune.rcc import MaskGitRCCAdapter, TamingRCCAdapter
+    from wmar_tpu.models import RarARMM, TamingARMM
 
     rng = jax.random.PRNGKey(seed)
-    vq, vq_cfg, vq_params = build_tiny_tokenizer(seed)
-    gpt_cfg, gpt_params = build_tiny_gpt(vq_cfg, seed + 1)
+    if family == "taming":
+        vq, vq_cfg, vq_params = build_tiny_tokenizer(seed)
+        adapter_cls = TamingRCCAdapter
+    elif family == "rar":
+        vq, vq_cfg, vq_params = build_tiny_maskgit(seed)
+        adapter_cls = MaskGitRCCAdapter
+    else:
+        raise ValueError(f"unknown family {family!r}")
 
     # --- stage 1: pretrain to the base roundtrip level
-    adapter0 = TamingRCCAdapter(vq, vq_params)
+    adapter0 = adapter_cls(vq, vq_params)
     rng, k = jax.random.split(rng)
     base_trainable, base_match = pretrain_tokenizer(
         adapter0, vq_cfg.n_embed, k, target_match=budget.pretrain_target,
         max_steps=budget.pretrain_max_steps, batch=budget.batch, log=log)
-    log(f"base tokenizer: clean token match {base_match:.3f} "
+    log(f"base tokenizer ({family}): clean token match {base_match:.3f} "
         f"(reference base: 0.659)")
 
-    # freeze as the 'published' tokenizer T0
+    # freeze as the 'published' tokenizer T0 (both tokenizer families store
+    # their conv stacks under the 'encoder'/'decoder' param keys)
     p = dict(vq_params["params"])
     p["decoder"] = base_trainable["decoder"]
     p["encoder"] = base_trainable["watermark_encoder"]
     T0 = {"params": p}
-    adapter = TamingRCCAdapter(vq, T0)
+    adapter = adapter_cls(vq, T0)
 
     # --- stage 2: watermarked generation through the real sampling stack
-    wrapper = TamingARMM(gpt_params, gpt_cfg, T0, vq_cfg)
+    # (tiny GPT for taming; tiny RAR with in-batch CFG for the rar family —
+    # both reference sweeps use the same watermark string,
+    # configs/{taming,rar}_generate.json)
+    from wmar_tpu.models import GenParams
+
+    if family == "taming":
+        gpt_cfg, gpt_params = build_tiny_gpt(vq_cfg, seed + 1)
+        wrapper = TamingARMM(gpt_params, gpt_cfg, T0, vq_cfg)
+        gp = GenParams(temperature=1.0)
+    else:
+        rar_cfg, rar_params = build_tiny_rar(vq_cfg, seed + 1)
+        wrapper = RarARMM(rar_params, rar_cfg, T0, vq_cfg,
+                          cache_dtype=jnp.float32)
+        gp = GenParams(temperature=1.0, guidance_scale=4.0,
+                       guidance_scale_pow=0.0)
     spec = WatermarkSpec.from_string(
         "linear-stratifiedrand-h=1-d=2.0-g=0.25",
         vocab_size=vq_cfg.n_embed, spatial_dim=vq_cfg.codes_per_side)
     wrapper.set_watermarker(spec)
-    from wmar_tpu.models import GenParams
 
-    gp = GenParams(temperature=1.0)
     conds = [i % 10 for i in range(budget.n_eval)]
     rng, k1, k2 = jax.random.split(rng, 3)
     codes_wm = wrapper.sample(conds, gp, apply_watermark=True, rng=k1)
@@ -328,12 +375,13 @@ def run(budget: ReproBudget, seed: int = 0, out: Optional[str] = None,
     log("\nBase-vs-FT table (direction of BASELINE.md 0.659 -> 0.956):\n" + table)
     if out:
         os.makedirs(out, exist_ok=True)
-        with open(os.path.join(out, "repro_tiny.json"), "w") as f:
-            json.dump({"base_clean_match": base_match, "results": results}, f,
-                      indent=1)
-        with open(os.path.join(out, "repro_tiny.md"), "w") as f:
+        stem = "repro_tiny" if family == "taming" else f"repro_tiny_{family}"
+        with open(os.path.join(out, f"{stem}.json"), "w") as f:
+            json.dump({"family": family, "base_clean_match": base_match,
+                       "results": results}, f, indent=1)
+        with open(os.path.join(out, f"{stem}.md"), "w") as f:
             f.write(table + "\n")
-        log(f"wrote {out}/repro_tiny.{{json,md}}")
+        log(f"wrote {out}/{stem}.{{json,md}}")
     return results
 
 
@@ -474,11 +522,14 @@ def main(argv=None):
     ap.add_argument("--fast", action="store_true", help="reduced budget")
     ap.add_argument("--audio", action="store_true",
                     help="run the Mimi twin instead of the image pipeline")
+    ap.add_argument("--family", type=str, default="taming",
+                    choices=["taming", "rar"],
+                    help="image tokenizer family (taming GPT or RAR/MaskGit)")
     args = ap.parse_args(argv)
     if args.audio:
         return run_audio(seed=args.seed, out=args.out)
     budget = FAST_BUDGET if args.fast else ReproBudget()
-    return run(budget, seed=args.seed, out=args.out)
+    return run(budget, seed=args.seed, out=args.out, family=args.family)
 
 
 if __name__ == "__main__":
